@@ -1,0 +1,158 @@
+"""Golden-value tests: CTC loss vs torch.nn.functional.ctc_loss (CPU) and
+RNN-T loss vs an independent numpy DP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from wenet_celoss_tpu.ops.ctc_loss import ctc_forced_align, ctc_loss
+from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss
+
+
+def _rand_logprobs(rng, b, t, v):
+    x = rng.standard_normal((b, t, v)).astype(np.float32)
+    return np.log(np.exp(x) / np.exp(x).sum(-1, keepdims=True))
+
+
+class TestCtcLoss:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_torch(self, seed):
+        rng = np.random.default_rng(seed)
+        b, t, v, u = 3, 11, 7, 4
+        logp = _rand_logprobs(rng, b, t, v)
+        labels = rng.integers(1, v, (b, u)).astype(np.int32)
+        ilens = np.array([11, 9, 7], np.int32)
+        llens = np.array([4, 3, 1], np.int32)
+
+        ours = np.asarray(ctc_loss(
+            jnp.asarray(logp), jnp.asarray(labels), jnp.asarray(ilens),
+            jnp.asarray(llens)))
+
+        ref = torch.nn.functional.ctc_loss(
+            torch.from_numpy(logp).permute(1, 0, 2),
+            torch.from_numpy(labels.astype(np.int64)),
+            torch.from_numpy(ilens.astype(np.int64)),
+            torch.from_numpy(llens.astype(np.int64)),
+            blank=0, reduction="none", zero_infinity=False)
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_grad_matches_torch(self):
+        rng = np.random.default_rng(2)
+        b, t, v, u = 2, 8, 5, 3
+        logits = rng.standard_normal((b, t, v)).astype(np.float32)
+        labels = rng.integers(1, v, (b, u)).astype(np.int32)
+        ilens = np.array([8, 6], np.int32)
+        llens = np.array([3, 2], np.int32)
+
+        def loss_fn(lg):
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            return jnp.sum(ctc_loss(lp, jnp.asarray(labels),
+                                    jnp.asarray(ilens), jnp.asarray(llens)))
+
+        g_ours = np.asarray(jax.grad(loss_fn)(jnp.asarray(logits)))
+
+        tl = torch.from_numpy(logits).requires_grad_(True)
+        lp = torch.log_softmax(tl, dim=-1)
+        ref = torch.nn.functional.ctc_loss(
+            lp.permute(1, 0, 2), torch.from_numpy(labels.astype(np.int64)),
+            torch.from_numpy(ilens.astype(np.int64)),
+            torch.from_numpy(llens.astype(np.int64)),
+            blank=0, reduction="sum")
+        ref.backward()
+        np.testing.assert_allclose(g_ours, tl.grad.numpy(), rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_empty_label(self):
+        rng = np.random.default_rng(3)
+        logp = _rand_logprobs(rng, 1, 5, 4)
+        ours = float(ctc_loss(jnp.asarray(logp),
+                              jnp.zeros((1, 2), jnp.int32),
+                              jnp.array([5]), jnp.array([0]))[0])
+        # All-blank path likelihood.
+        expected = -float(np.sum(logp[0, :, 0]))
+        assert ours == pytest.approx(expected, rel=1e-5)
+
+    def test_forced_align_is_valid_path(self):
+        rng = np.random.default_rng(4)
+        b, t, v, u = 2, 9, 6, 3
+        logp = _rand_logprobs(rng, b, t, v)
+        labels = rng.integers(1, v, (b, u)).astype(np.int32)
+        ilens = np.array([9, 7], np.int32)
+        llens = np.array([3, 2], np.int32)
+        path = np.asarray(ctc_forced_align(
+            jnp.asarray(logp), jnp.asarray(labels), jnp.asarray(ilens),
+            jnp.asarray(llens)))
+        for i in range(b):
+            collapsed = []
+            prev = -1
+            for s in path[i, :ilens[i]]:
+                if s != 0 and s != prev:
+                    collapsed.append(int(s))
+                prev = int(s)
+            assert collapsed == list(labels[i, :llens[i]])
+
+
+def _numpy_rnnt_loss(logits, labels, ilens, llens, blank=0):
+    """Independent O(T·U) DP in float64."""
+    b = logits.shape[0]
+    out = np.zeros(b)
+    for i in range(b):
+        t_len, u_len = int(ilens[i]), int(llens[i])
+        x = logits[i].astype(np.float64)
+        lp = x - np.log(np.exp(x - x.max(-1, keepdims=True)).sum(-1,
+                        keepdims=True)) - x.max(-1, keepdims=True)
+        alpha = np.full((t_len, u_len + 1), -np.inf)
+        alpha[0, 0] = 0.0
+        for t in range(t_len):
+            for u in range(u_len + 1):
+                if t == 0 and u == 0:
+                    continue
+                terms = []
+                if t > 0:
+                    terms.append(alpha[t - 1, u] + lp[t - 1, u, blank])
+                if u > 0:
+                    terms.append(alpha[t, u - 1] + lp[t, u - 1, labels[i, u - 1]])
+                alpha[t, u] = np.logaddexp.reduce(terms)
+        out[i] = -(alpha[t_len - 1, u_len] + lp[t_len - 1, u_len, blank])
+    return out
+
+
+class TestRnntLoss:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_numpy_dp(self, seed):
+        rng = np.random.default_rng(seed)
+        b, t, u, v = 3, 6, 4, 5
+        logits = rng.standard_normal((b, t, u + 1, v)).astype(np.float32)
+        labels = rng.integers(1, v, (b, u)).astype(np.int32)
+        ilens = np.array([6, 5, 3], np.int32)
+        llens = np.array([4, 2, 1], np.int32)
+        ours = np.asarray(rnnt_loss(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(ilens),
+            jnp.asarray(llens)))
+        ref = _numpy_rnnt_loss(logits, labels, ilens, llens)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    def test_grad_finite_and_descends(self):
+        rng = np.random.default_rng(7)
+        b, t, u, v = 2, 5, 3, 4
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v)),
+                             dtype=jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), dtype=jnp.int32)
+        ilens, llens = jnp.array([5, 4]), jnp.array([3, 2])
+
+        f = lambda x: jnp.sum(rnnt_loss(x, labels, ilens, llens))
+        g = jax.grad(f)(logits)
+        assert np.all(np.isfinite(np.asarray(g)))
+        l0, l1 = float(f(logits)), float(f(logits - 0.01 * g))
+        assert l1 < l0
+
+    def test_single_frame(self):
+        # T=1, U=0: loss = -log_softmax(logits)[0,0,blank].
+        logits = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 1, 1, 3)), dtype=jnp.float32)
+        loss = float(rnnt_loss(logits, jnp.zeros((1, 0), jnp.int32),
+                               jnp.array([1]), jnp.array([0]))[0])
+        expected = -float(jax.nn.log_softmax(logits[0, 0, 0])[0])
+        assert loss == pytest.approx(expected, rel=1e-5)
