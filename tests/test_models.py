@@ -1,0 +1,158 @@
+"""Model component and end-to-end forward/backward tests (tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wenet_celoss_tpu.models.asr_model import ASRModel
+from wenet_celoss_tpu.models.ctc_head import CTC
+from wenet_celoss_tpu.models.decoder import BiTransformerDecoder
+from wenet_celoss_tpu.models.encoder import ConformerEncoder, TransformerEncoder
+from wenet_celoss_tpu.models.factory import init_model
+from wenet_celoss_tpu.models.label_smoothing import label_smoothing_loss
+
+VOCAB = 12
+FEAT = 20
+
+
+def tiny_configs(encoder="transformer", **extra_enc):
+    enc_conf = {
+        "output_size": 16, "attention_heads": 2, "linear_units": 32,
+        "num_blocks": 2, "dropout_rate": 0.1,
+        "positional_dropout_rate": 0.1, "attention_dropout_rate": 0.0,
+        "input_layer": "conv2d",
+        "pos_enc_layer_type": "rel_pos" if encoder == "conformer" else "abs_pos",
+        "normalize_before": True,
+    }
+    enc_conf.update(extra_enc)
+    return {
+        "input_dim": FEAT, "output_dim": VOCAB,
+        "encoder": encoder, "encoder_conf": enc_conf,
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 32,
+                         "num_blocks": 2, "r_num_blocks": 1,
+                         "dropout_rate": 0.1},
+        "model_conf": {"ctc_weight": 0.3, "reverse_weight": 0.3,
+                       "lsm_weight": 0.1},
+    }
+
+
+def make_batch(rng, b=2, t=40):
+    feats = jnp.asarray(rng.standard_normal((b, t, FEAT)), jnp.float32)
+    feat_lens = jnp.array([t, t - 8], jnp.int32)[:b]
+    text = jnp.asarray(rng.integers(1, VOCAB - 2, (b, 5)), jnp.int32)
+    text_lens = jnp.array([5, 3], jnp.int32)[:b]
+    text = jnp.where(jnp.arange(5)[None, :] < text_lens[:, None], text, -1)
+    return feats, feat_lens, text, text_lens
+
+
+class TestLabelSmoothing:
+    def test_matches_torch_kldiv(self):
+        import torch
+        rng = np.random.default_rng(0)
+        b, u, v = 3, 6, 10
+        logits = rng.standard_normal((b, u, v)).astype(np.float32)
+        targets = rng.integers(0, v, (b, u))
+        targets[1, 4:] = -1
+        targets[2, 2:] = -1
+
+        ours = float(label_smoothing_loss(
+            jnp.asarray(logits), jnp.asarray(targets), 0.1, False))
+
+        # Reference semantics (label_smoothing_loss.py:22-96).
+        t_logits = torch.from_numpy(logits).view(-1, v)
+        t_targets = torch.from_numpy(targets).view(-1)
+        true_dist = torch.full((b * u, v), 0.1 / (v - 1))
+        ignore = t_targets == -1
+        masked_t = t_targets.masked_fill(ignore, 0)
+        true_dist.scatter_(1, masked_t.unsqueeze(1), 0.9)
+        kl = torch.nn.functional.kl_div(
+            torch.log_softmax(t_logits, dim=1), true_dist, reduction="none")
+        ref = kl.masked_fill(ignore.unsqueeze(1), 0).sum() / b
+        assert ours == pytest.approx(float(ref), rel=1e-4)
+
+
+class TestEncoders:
+    def test_transformer_encoder_shapes(self):
+        rng = np.random.default_rng(0)
+        enc = TransformerEncoder(input_size=FEAT, output_size=16,
+                                 attention_heads=2, linear_units=32,
+                                 num_blocks=2)
+        feats, feat_lens, _, _ = make_batch(rng)
+        params = enc.init(jax.random.PRNGKey(0), feats, feat_lens)
+        out, mask = enc.apply(params, feats, feat_lens)
+        assert out.shape == (2, (40 - 1) // 2 // 2 - 1, 16) or out.shape[2] == 16
+        assert mask.shape == out.shape[:2]
+        # Padded rows produce masked-out positions.
+        assert int(mask[1].sum()) < int(mask[0].sum())
+
+    def test_conformer_encoder_runs(self):
+        rng = np.random.default_rng(1)
+        enc = ConformerEncoder(
+            input_size=FEAT, output_size=16, attention_heads=2,
+            linear_units=32, num_blocks=2, pos_enc_layer_type="rel_pos",
+            cnn_module_kernel=7, cnn_module_norm="layer_norm",
+            use_dynamic_chunk=True)
+        feats, feat_lens, _, _ = make_batch(rng)
+        params = enc.init(jax.random.PRNGKey(0), feats, feat_lens)
+        out, mask = enc.apply(params, feats, feat_lens)
+        assert out.shape[-1] == 16
+        # Training path with dynamic chunk + dropout rngs.
+        out2, _ = enc.apply(
+            params, feats, feat_lens, deterministic=False, train=True,
+            chunk_rng=jax.random.PRNGKey(3),
+            rngs={"dropout": jax.random.PRNGKey(4)})
+        assert np.isfinite(np.asarray(out2)).all()
+
+    def test_cmvn_applied(self):
+        rng = np.random.default_rng(2)
+        mean = tuple(float(x) for x in np.ones(FEAT) * 5.0)
+        istd = tuple(float(x) for x in np.ones(FEAT) * 2.0)
+        enc = TransformerEncoder(input_size=FEAT, output_size=16,
+                                 attention_heads=2, linear_units=32,
+                                 num_blocks=1, cmvn=(mean, istd))
+        feats, feat_lens, _, _ = make_batch(rng)
+        params = enc.init(jax.random.PRNGKey(0), feats, feat_lens)
+        out, _ = enc.apply(params, feats, feat_lens)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestASRModel:
+    @pytest.mark.parametrize("encoder", ["transformer", "conformer"])
+    def test_forward_loss_and_grad(self, encoder):
+        rng = np.random.default_rng(3)
+        extra = ({"cnn_module_kernel": 7, "cnn_module_norm": "layer_norm"}
+                 if encoder == "conformer" else {})
+        model = init_model(tiny_configs(encoder, **extra))
+        feats, feat_lens, text, text_lens = make_batch(rng)
+        params = model.init(jax.random.PRNGKey(0), feats, feat_lens, text,
+                            text_lens)
+        out = model.apply(params, feats, feat_lens, text, text_lens)
+        assert np.isfinite(float(out["loss"]))
+        assert float(out["loss_ctc"]) > 0 and float(out["loss_att"]) > 0
+
+        def loss_fn(p):
+            return model.apply(p, feats, feat_lens, text, text_lens,
+                               deterministic=False, train=True,
+                               chunk_rng=jax.random.PRNGKey(1),
+                               rngs={"dropout": jax.random.PRNGKey(2)})["loss"]
+
+        grads = jax.grad(loss_fn)(params)
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # At least some gradient mass reaches the encoder.
+        total = sum(float(jnp.abs(g).sum()) for g in flat)
+        assert total > 0
+
+    def test_decode_support_methods(self):
+        rng = np.random.default_rng(4)
+        model = init_model(tiny_configs())
+        feats, feat_lens, text, text_lens = make_batch(rng)
+        params = model.init(jax.random.PRNGKey(0), feats, feat_lens, text,
+                            text_lens)
+        enc_out, enc_mask, ctc_lp = model.apply(
+            params, feats, feat_lens, method="encode_ctc")
+        assert ctc_lp.shape == enc_out.shape[:2] + (VOCAB,)
+        np.testing.assert_allclose(
+            np.exp(np.asarray(ctc_lp)).sum(-1), 1.0, rtol=1e-4)

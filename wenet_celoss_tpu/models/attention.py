@@ -1,0 +1,158 @@
+"""Multi-head attention with streaming KV cache.
+
+Parity with reference ``wenet/transformer/attention.py:26-312``
+(MultiHeadedAttention with cache-concat streaming, and the rel-pos variant
+with the Transformer-XL u/v biases but — deliberately, matching the
+reference — *no* rel_shift (`attention.py:305-307`)).
+
+TPU-first design notes:
+- everything is batched einsum → MXU; masks are boolean adds of -inf, fused
+  by XLA into the softmax;
+- the streaming cache is a fixed-size [B, H, C, 2*dk] buffer + valid-length
+  scalar instead of a growing concat, so one compiled program serves the
+  whole stream (the reference re-concats and re-slices every chunk,
+  `attention.py:122-186`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1.0e10
+
+
+class MultiHeadedAttention(nn.Module):
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        assert self.n_feat % self.n_head == 0
+        self.d_k = self.n_feat // self.n_head
+        self.linear_q = nn.Dense(self.n_feat)
+        self.linear_k = nn.Dense(self.n_feat)
+        self.linear_v = nn.Dense(self.n_feat)
+        self.linear_out = nn.Dense(self.n_feat)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+
+    def qkv(self, query, key, value):
+        return (self._split(self.linear_q(query)),
+                self._split(self.linear_k(key)),
+                self._split(self.linear_v(value)))
+
+    def _attend(self, q, k, v, mask, deterministic):
+        """q,k,v: [B,H,T,dk]; mask: [B, 1|Tq, Tk] bool or None."""
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(self.d_k, q.dtype))
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        if mask is not None:
+            attn = jnp.where(mask[:, None, :, :], attn, 0.0)
+        attn = self.dropout(attn, deterministic=deterministic)
+        x = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        b = x.shape[0]
+        return self.linear_out(
+            x.transpose(0, 2, 1, 3).reshape(b, -1, self.n_feat))
+
+    def __call__(self, query, key, value, mask=None, pos_emb=None, *,
+                 deterministic: bool = True):
+        q, k, v = self.qkv(query, key, value)
+        return self._attend(q, k, v, mask, deterministic)
+
+    def forward_with_cache(self, query, key, value, cache_kv, cache_len,
+                           mask=None, pos_emb=None, *,
+                           deterministic: bool = True):
+        """Streaming step with a fixed-size left-context cache.
+
+        Args:
+          cache_kv: [B, H, C, 2*dk] ring of past (k|v), oldest first.
+          cache_len: [] or [B] number of valid cached frames (≤ C).
+          mask: [B, Tq, C+Tnew] over (cache ++ new) keys, or None.
+        Returns: (out [B, Tq, n_feat], new_cache_kv, new_cache_len)
+        """
+        q, k, v = self.qkv(query, key, value)
+        c = cache_kv.shape[2]
+        k_cache, v_cache = jnp.split(cache_kv, 2, axis=-1)
+        k_all = jnp.concatenate([k_cache, k], axis=2)
+        v_all = jnp.concatenate([v_cache, v], axis=2)
+        # Valid-key mask: cache slot i valid iff i >= C - cache_len.
+        idx = jnp.arange(c + k.shape[2])
+        key_valid = (idx >= (c - cache_len)) | (idx >= c)
+        full_mask = key_valid[None, None, :]
+        if mask is not None:
+            full_mask = full_mask & mask
+        out = self._attend(q, k_all, v_all, full_mask, deterministic)
+        # Slide: keep last C entries of (cache ++ new).
+        new_cache = jnp.concatenate([k_all, v_all], axis=-1)[:, :, -c:, :]
+        new_len = jnp.minimum(cache_len + k.shape[2], c)
+        return out, new_cache, new_len
+
+
+class RelPositionMultiHeadedAttention(MultiHeadedAttention):
+    """Rel-pos MHA following the reference's simplification: matrix_bd is
+    computed from the (offset-continued) sinusoid pos_emb without rel_shift
+    (reference `attention.py:189-312`)."""
+
+    def setup(self):
+        super().setup()
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False)
+        self.pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(),
+            (self.n_head, self.d_k))
+        self.pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(),
+            (self.n_head, self.d_k))
+
+    def _rel_attend(self, q, k, v, pos_emb, mask, deterministic):
+        """q: [B,H,Tq,dk]; k,v: [B,H,Tk,dk]; pos_emb: [1|B, Tk, n_feat]."""
+        p = self.linear_pos(pos_emb)
+        pb, pt = p.shape[0], p.shape[1]
+        p = p.reshape(pb, pt, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        q_u = q + self.pos_bias_u[None, :, None, :].astype(q.dtype)
+        q_v = q + self.pos_bias_v[None, :, None, :].astype(q.dtype)
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bhqd,phkd->bhqk", q_v, p)
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+            jnp.asarray(self.d_k, q.dtype))
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        if mask is not None:
+            attn = jnp.where(mask[:, None, :, :], attn, 0.0)
+        attn = self.dropout(attn, deterministic=deterministic)
+        x = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        b = x.shape[0]
+        return self.linear_out(
+            x.transpose(0, 2, 1, 3).reshape(b, -1, self.n_feat))
+
+    def __call__(self, query, key, value, mask=None, pos_emb=None, *,
+                 deterministic: bool = True):
+        q, k, v = self.qkv(query, key, value)
+        return self._rel_attend(q, k, v, pos_emb, mask, deterministic)
+
+    def forward_with_cache(self, query, key, value, cache_kv, cache_len,
+                           mask=None, pos_emb=None, *,
+                           deterministic: bool = True):
+        q, k, v = self.qkv(query, key, value)
+        c = cache_kv.shape[2]
+        k_cache, v_cache = jnp.split(cache_kv, 2, axis=-1)
+        k_all = jnp.concatenate([k_cache, k], axis=2)
+        v_all = jnp.concatenate([v_cache, v], axis=2)
+        idx = jnp.arange(c + k.shape[2])
+        key_valid = (idx >= (c - cache_len)) | (idx >= c)
+        full_mask = key_valid[None, None, :]
+        if mask is not None:
+            full_mask = full_mask & mask
+        out = self._rel_attend(q, k_all, v_all, pos_emb, full_mask,
+                               deterministic)
+        new_cache = jnp.concatenate([k_all, v_all], axis=-1)[:, :, -c:, :]
+        new_len = jnp.minimum(cache_len + k.shape[2], c)
+        return out, new_cache, new_len

@@ -1,0 +1,84 @@
+"""Model factory: YAML config → model (reference ``wenet/utils/init_model.py:29-109``).
+
+Accepts the same config schema as the reference recipes
+(`examples/librispeech/s0/conf/*.yaml`): ``encoder``/``encoder_conf``,
+``decoder``/``decoder_conf``, ``model_conf``, optional ``cmvn_file``, and —
+when ``predictor`` is present — the transducer stack (predictor/joint), with
+optional ``context_conf`` for the fork's contextual biasing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from wenet_celoss_tpu.models.asr_model import ASRModel
+from wenet_celoss_tpu.models.cmvn import load_cmvn
+from wenet_celoss_tpu.models.ctc_head import CTC
+from wenet_celoss_tpu.models.decoder import BiTransformerDecoder
+from wenet_celoss_tpu.models.encoder import (
+    ENCODER_CLASSES, ConformerEncoder, TransformerEncoder)
+
+
+def _as_cmvn_tuple(mean: np.ndarray, istd: np.ndarray):
+    return (tuple(float(x) for x in mean), tuple(float(x) for x in istd))
+
+
+def build_encoder(input_dim: int, configs: Dict[str, Any],
+                  cmvn: Optional[Tuple] = None):
+    enc_type = configs.get("encoder", "conformer")
+    conf = dict(configs.get("encoder_conf", {}))
+    cls = ENCODER_CLASSES[enc_type]
+    if enc_type == "transformer":
+        # Conformer-only knobs may appear in shared configs; drop them.
+        for k in ("positionwise_conv_kernel_size", "macaron_style",
+                  "selfattention_layer_type", "activation_type",
+                  "use_cnn_module", "cnn_module_kernel", "causal",
+                  "cnn_module_norm"):
+            conf.pop(k, None)
+    return cls(input_size=input_dim, cmvn=cmvn, **conf)
+
+
+def init_model(configs: Dict[str, Any]):
+    """Build the model described by a training config.
+
+    Returns the flax Module. ``configs`` must carry ``input_dim`` and
+    ``output_dim`` (the reference writes these into train.yaml at
+    `wenet/bin/train.py:183-192`).
+    """
+    input_dim = configs["input_dim"]
+    vocab_size = configs["output_dim"]
+
+    cmvn = None
+    if configs.get("cmvn_file"):
+        mean, istd = load_cmvn(configs["cmvn_file"],
+                               configs.get("is_json_cmvn", True))
+        cmvn = _as_cmvn_tuple(mean, istd)
+
+    encoder = build_encoder(input_dim, configs, cmvn)
+    dec_conf = dict(configs.get("decoder_conf", {}))
+    dec_type = configs.get("decoder", "bitransformer")
+    if dec_type == "transformer":
+        dec_conf.setdefault("r_num_blocks", 0)
+    decoder = BiTransformerDecoder(
+        vocab_size=vocab_size,
+        encoder_output_size=configs.get("encoder_conf", {}).get(
+            "output_size", 256),
+        **dec_conf)
+    ctc = CTC(vocab_size)
+
+    model_conf = configs.get("model_conf", {})
+    if "predictor" in configs:
+        from wenet_celoss_tpu.models.transducer import build_transducer
+        return build_transducer(configs, vocab_size, encoder, decoder, ctc)
+    return ASRModel(
+        vocab_size=vocab_size,
+        encoder=encoder,
+        decoder=decoder,
+        ctc=ctc,
+        ctc_weight=model_conf.get("ctc_weight", 0.5),
+        reverse_weight=model_conf.get("reverse_weight", 0.0),
+        lsm_weight=model_conf.get("lsm_weight", 0.1),
+        length_normalized_loss=model_conf.get("length_normalized_loss",
+                                              False))
