@@ -1,0 +1,91 @@
+"""Benchmark: training throughput of the flagship conformer-RNN-T + bias
+model on one chip, in audio-seconds per second per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no in-tree throughput numbers (BASELINE.md), so
+vs_baseline is reported against this project's own recorded baseline when
+BENCH_BASELINE.json exists, else 1.0.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from wenet_celoss_tpu.configs import conformer_rnnt_bias
+    from wenet_celoss_tpu.models.factory import init_model
+    from wenet_celoss_tpu.parallel import train as T
+
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)
+    model = init_model(cfg)
+
+    b = int(os.environ.get("BENCH_BATCH", "8"))
+    t = int(os.environ.get("BENCH_FRAMES", "512"))   # 10ms frames
+    u = int(os.environ.get("BENCH_LABELS", "32"))
+    rng = np.random.default_rng(0)
+    v = cfg["output_dim"]
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32),
+        "feat_lengths": jnp.full((b,), t, jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, v - 2, (b, u)), jnp.int32),
+        "label_lengths": jnp.full((b,), u, jnp.int32),
+        "context_list": jnp.asarray(rng.integers(1, v - 2, (8, 4)),
+                                    jnp.int32),
+        "context_lengths": jnp.full((8,), 4, jnp.int32),
+        "hw_labels": jnp.asarray(rng.integers(0, 2, (b, u)), jnp.int32),
+    }
+    args = (batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"], batch["context_list"],
+            batch["context_lengths"], batch["hw_labels"])
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    tx, _ = T.make_optimizer(cfg)
+    state = T.create_train_state(model, variables, tx)
+    grad_fn = T.make_grad_fn(model, accum_grad=1)
+    apply_fn = T.make_apply_fn(tx)
+
+    def step(state, key):
+        grads, metrics, _ = grad_fn(state, batch, key)
+        state, _ = apply_fn(state, grads)
+        return state, metrics
+
+    # Warmup/compile.
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, key)
+    jax.block_until_ready(m["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, m = step(state, sub)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = b * t * 0.01 * iters
+    value = audio_seconds / dt
+
+    vs = 1.0
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                base = json.load(f).get("value", 0.0)
+            if base > 0:
+                vs = value / base
+        except Exception:
+            pass
+    print(json.dumps({
+        "metric": "train_throughput_conformer_rnnt_bias",
+        "value": round(value, 2),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

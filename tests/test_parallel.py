@@ -1,0 +1,97 @@
+"""SPMD training tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wenet_celoss_tpu.parallel import train as T
+from wenet_celoss_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(model_parallel=1)
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh2 = make_mesh(model_parallel=2)
+    assert mesh2.shape["model"] == 2
+
+
+def test_sharded_train_step_matches_single_device():
+    """One SPMD step over the 8-device mesh must equal the single-device
+    step (same loss, same updated params)."""
+    from wenet_celoss_tpu.models.factory import init_model
+    from wenet_celoss_tpu.configs import conformer_ctc_aed
+
+    cfg = conformer_ctc_aed(input_dim=8, vocab_size=16, tiny=True)
+    cfg["encoder_conf"].update(num_blocks=1, output_size=8,
+                               linear_units=16, attention_heads=2,
+                               cnn_module_kernel=7)
+    cfg["decoder_conf"].update(num_blocks=1, linear_units=16,
+                               attention_heads=2)
+    model = init_model(cfg)
+
+    rng = np.random.default_rng(0)
+    b, t, u = 8, 32, 4
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((b, t, 8)), jnp.float32),
+        "feat_lengths": jnp.full((b,), t, jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, 14, (b, u)), jnp.int32),
+        "label_lengths": jnp.full((b,), u, jnp.int32),
+    }
+    args = (batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"])
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    tx, _ = T.make_optimizer(cfg)
+    grad_fn = T.make_grad_fn(model)
+    apply_fn = T.make_apply_fn(tx)
+
+    # Single device
+    state1 = T.create_train_state(model, variables, tx)
+    g1, m1, _ = grad_fn(state1, batch, jax.random.PRNGKey(9))
+    s1, _ = apply_fn(state1, g1)
+
+    # Mesh
+    mesh = make_mesh()
+    state2 = jax.device_put(T.create_train_state(model, variables, tx),
+                            NamedSharding(mesh, P()))
+    placed = shard_batch(mesh, batch)
+    g2, m2, _ = grad_fn(state2, placed, jax.random.PRNGKey(9))
+    s2, _ = apply_fn(state2, g2)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b_ in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_nonfinite_grad_skips_step():
+    tx, _ = T.make_optimizer({"grad_clip": 1.0})
+    apply_fn = T.make_apply_fn(tx)
+    params = {"w": jnp.ones((4,))}
+    state = T.TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                         opt_state=tx.init(params))
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    new_state, gnorm = apply_fn(state, bad)
+    np.testing.assert_allclose(np.asarray(new_state.params["w"]),
+                               np.ones((4,)))
+
+    good = {"w": jnp.ones((4,))}
+    new_state2, _ = apply_fn(state, good)
+    assert not np.array_equal(np.asarray(new_state2.params["w"]),
+                              np.ones((4,)))
+    assert int(new_state2.step) == 1
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,162 @@
+"""Batched, jit-able RNN-T greedy search (+ hotword-gate variant).
+
+Parity with reference ``wenet/transducer/search/greedy_search.py:34-430``
+(basic_greedy_search / _both): frame loop with up to ``n_steps`` emissions
+per frame via predictor step + joint argmax. Re-designed for XLA as a
+`lax.scan` over frames with a static inner emission budget and a fixed-size
+output buffer — the whole batch decodes in one compiled program (the
+reference loops per frame per utterance in python).
+
+The gate variant mirrors the fork's context-gated decode: it maintains
+BOTH biased and unbiased encoder/predictor streams, classifies each
+candidate emission with the hotword gate, and selects the stream per step
+(`greedy_search.py:94-176`). The reference's mutable backtracking repair
+(pop caches, rewind t — `greedy_search.py:117-137`) is re-thought for jit
+as gate-consistent stream selection at emission time; a two-pass constrained
+re-decode can be layered on top for exact parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rnnt_greedy_search(predictor_step: Callable, joint_step: Callable,
+                       init_state, encoder_out, encoder_lens,
+                       blank: int = 0, n_steps: int = 4,
+                       u_max: int = 0):
+    """Greedy decode.
+
+    Args:
+      predictor_step: (token [B], state, padding [B]) ->
+        (pred_out [B, P], state); padding 1 freezes that row's state.
+      joint_step: (enc_t [B, E], pred_out [B, P]) -> logits [B, V].
+      init_state: predictor state pytree for batch size B.
+      encoder_out: [B, T, E]; encoder_lens: [B].
+    Returns: (tokens [B, U_cap], lens [B])
+    """
+    b, t_max, _ = encoder_out.shape
+    if u_max <= 0:
+        u_max = 2 * t_max
+    pred0, state0 = predictor_step(jnp.full((b,), blank, jnp.int32),
+                                   init_state, jnp.zeros((b,), jnp.int32))
+    buf0 = jnp.zeros((b, u_max), jnp.int32)
+    cnt0 = jnp.zeros((b,), jnp.int32)
+
+    def frame(carry, inputs):
+        pred_out, state, buf, cnt = carry
+        enc_t, t = inputs                                  # [B, E], scalar
+        frame_ok0 = t < encoder_lens                       # [B]
+
+        def emit(sub_carry, _):
+            pred_out, state, buf, cnt, alive = sub_carry
+            logits = joint_step(enc_t, pred_out)           # [B, V]
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            do = alive & (tok != blank) & (cnt < u_max)
+            buf = jnp.where(
+                jax.nn.one_hot(jnp.minimum(cnt, u_max - 1), u_max,
+                               dtype=bool) & do[:, None],
+                tok[:, None], buf)
+            cnt = cnt + do.astype(jnp.int32)
+            # The predictor's own padding mechanism freezes state for
+            # non-emitting rows (reference ApplyPadding, predictor.py:9-15).
+            new_pred, new_state = predictor_step(
+                tok, state, (~do).astype(jnp.int32))
+            keep = do[:, None].astype(pred_out.dtype)
+            pred_out = new_pred * keep + pred_out * (1 - keep)
+            state = new_state
+            alive = do
+            return (pred_out, state, buf, cnt, alive), None
+
+        (pred_out, state, buf, cnt, _), _ = jax.lax.scan(
+            emit, (pred_out, state, buf, cnt, frame_ok0), None,
+            length=n_steps)
+        return (pred_out, state, buf, cnt), None
+
+    ts = jnp.arange(t_max)
+    enc_seq = jnp.moveaxis(encoder_out, 1, 0)              # [T, B, E]
+    (pred_out, state, buf, cnt), _ = jax.lax.scan(
+        frame, (pred0, state0, buf0, cnt0), (enc_seq, ts))
+    return buf, cnt
+
+
+def rnnt_gated_greedy_search(predictor_step: Callable,
+                             predictor_bias_step: Callable,
+                             joint_step: Callable,
+                             gate_step: Callable,
+                             init_state,
+                             encoder_out, encoder_out_biased, enc_bias,
+                             encoder_lens, blank: int = 0, n_steps: int = 4,
+                             u_max: int = 0, gate_on: bool = True):
+    """Hotword-gate-aware greedy decode over dual streams.
+
+    Args (beyond rnnt_greedy_search):
+      predictor_bias_step: (pred_out [B, P]) -> (biased_pred [B, P],
+        pred_bias_branch [B, E]).
+      gate_step: (enc_bias_t [B, E], pred_bias_u [B, E]) -> gate logits
+        [B, num_labels]; argmax 1 = hotword.
+      encoder_out / encoder_out_biased / enc_bias: [B, T, E].
+      gate_on: False decodes purely on the biased streams (reference
+        context_filter_state == 'off').
+    Returns: (tokens [B, U_cap], lens [B], gates [B, U_cap])
+    """
+    b, t_max, _ = encoder_out.shape
+    if u_max <= 0:
+        u_max = 2 * t_max
+    pred0, state0 = predictor_step(jnp.full((b,), blank, jnp.int32),
+                                   init_state, jnp.zeros((b,), jnp.int32))
+    buf0 = jnp.zeros((b, u_max), jnp.int32)
+    gate_buf0 = jnp.zeros((b, u_max), jnp.int32)
+    cnt0 = jnp.zeros((b,), jnp.int32)
+
+    def frame(carry, inputs):
+        pred_out, state, buf, gate_buf, cnt = carry
+        enc_t, enc_b_t, bias_t, t = inputs
+        frame_ok0 = t < encoder_lens
+
+        def emit(sub_carry, _):
+            pred_out, state, buf, gate_buf, cnt, alive = sub_carry
+            pred_biased, pred_bias_branch = predictor_bias_step(pred_out)
+            gate_logits = gate_step(bias_t, pred_bias_branch)
+            gate = jnp.argmax(gate_logits, axis=-1).astype(jnp.int32)
+            use_bias = (gate > 0) if gate_on else jnp.ones((b,), bool)
+            enc_sel = jnp.where(use_bias[:, None], enc_b_t, enc_t)
+            pred_sel = jnp.where(use_bias[:, None], pred_biased, pred_out)
+            logits = joint_step(enc_sel, pred_sel)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            do = alive & (tok != blank) & (cnt < u_max)
+            onehot = jax.nn.one_hot(jnp.minimum(cnt, u_max - 1), u_max,
+                                    dtype=bool) & do[:, None]
+            buf = jnp.where(onehot, tok[:, None], buf)
+            gate_buf = jnp.where(onehot, gate[:, None], gate_buf)
+            cnt = cnt + do.astype(jnp.int32)
+            new_pred, new_state = predictor_step(
+                tok, state, (~do).astype(jnp.int32))
+            keep = do[:, None].astype(pred_out.dtype)
+            pred_out = new_pred * keep + pred_out * (1 - keep)
+            state = new_state
+            return (pred_out, state, buf, gate_buf, cnt, do), None
+
+        (pred_out, state, buf, gate_buf, cnt, _), _ = jax.lax.scan(
+            emit, (pred_out, state, buf, gate_buf, cnt, frame_ok0), None,
+            length=n_steps)
+        return (pred_out, state, buf, gate_buf, cnt), None
+
+    ts = jnp.arange(t_max)
+    (pred_out, state, buf, gate_buf, cnt), _ = jax.lax.scan(
+        frame, (pred0, state0, buf0, gate_buf0, cnt0),
+        (jnp.moveaxis(encoder_out, 1, 0),
+         jnp.moveaxis(encoder_out_biased, 1, 0),
+         jnp.moveaxis(enc_bias, 1, 0), ts))
+    return buf, cnt, gate_buf
+
+
+def greedy_to_lists(tokens, lens):
+    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    return [[int(x) for x in tokens[i, : lens[i]]]
+            for i in range(tokens.shape[0])]

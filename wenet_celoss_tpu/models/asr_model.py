@@ -124,9 +124,9 @@ class ASRModel(nn.Module):
         return (nn.log_softmax(l_logits.astype(jnp.float32), axis=-1),
                 nn.log_softmax(r_logits.astype(jnp.float32), axis=-1))
 
-    def decoder_one_step(self, memory, memory_pad_mask, ys, ys_mask):
-        return self.decoder.forward_one_step(memory, memory_pad_mask, ys,
-                                             ys_mask)
+    def decoder_one_step(self, memory, memory_pad_mask, ys_buffer, pos):
+        return self.decoder.forward_one_step(memory, memory_pad_mask,
+                                             ys_buffer, pos)
 
     def encoder_init_cache(self, batch_size: int, required_cache_size: int):
         return self.encoder.init_cache(batch_size, required_cache_size)

@@ -21,7 +21,10 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-NEG_INF = -1.0e10
+# Additive mask value. Kept within XLA exp's safe range-reduction domain
+# (see utils/common.py LOG_ZERO note); softmax outputs are re-zeroed under
+# the mask anyway.
+NEG_INF = -1.0e9
 
 
 class MultiHeadedAttention(nn.Module):

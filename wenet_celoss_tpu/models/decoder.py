@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from wenet_celoss_tpu.models.attention import MultiHeadedAttention
@@ -130,27 +131,36 @@ class TransformerDecoder(nn.Module):
             x = self.output_layer(x)
         return x
 
-    def forward_one_step(self, memory, memory_pad_mask, ys, ys_mask):
-        """Single-step incremental decode used by attention beam search.
+    def forward_one_step(self, memory, memory_pad_mask, ys_buffer, pos):
+        """One beam-search step over a FIXED-SIZE token buffer.
 
-        Simple full-prefix recompute (the prefix is short for ASR labels;
-        full recompute keeps shapes static and XLA fuses it well).
+        The reference grows the prefix tensor every step
+        (`decoder.py:144-185`);
+        here the buffer is [B, L_max] with a traced position ``pos`` so the
+        whole beam loop is one compiled scan: we run the causal decoder over
+        the full buffer (positions > pos masked out) and read the logits at
+        ``pos``.
 
         Args:
-          ys: [B, U_so_far]; ys_mask: [B, U, U] causal+len mask.
-        Returns: log-probs of the last position [B, V].
+          ys_buffer: [B, L_max] tokens, positions 0..pos filled.
+          pos: traced scalar — index of the newest token.
+        Returns: log-probs of the next token [B, V].
         """
-        x, _ = self.pos_enc(self.embed_tokens(ys), deterministic=True)
+        l_max = ys_buffer.shape[1]
+        valid = jnp.arange(l_max) <= pos
+        tgt_mask = (valid[None, None, :]
+                    & subsequent_mask(l_max)[None, :, :])
+        x, _ = self.pos_enc(self.embed_tokens(ys_buffer), deterministic=True)
         mem_mask = memory_pad_mask[:, None, :]
         for layer in self.decoders:
-            x = layer(x, ys_mask, memory, mem_mask, deterministic=True)
+            x = layer(x, tgt_mask, memory, mem_mask, deterministic=True)
+        x_pos = jax.lax.dynamic_slice_in_dim(
+            x, jnp.asarray(pos, jnp.int32), 1, axis=1)
         if self.normalize_before:
-            x = self.after_norm(x[:, -1:])
-        else:
-            x = x[:, -1:]
+            x_pos = self.after_norm(x_pos)
         if self.use_output_layer:
-            x = self.output_layer(x)
-        return nn.log_softmax(x[:, 0], axis=-1)
+            x_pos = self.output_layer(x_pos)
+        return nn.log_softmax(x_pos[:, 0].astype(jnp.float32), axis=-1)
 
 
 class BiTransformerDecoder(nn.Module):
@@ -200,6 +210,6 @@ class BiTransformerDecoder(nn.Module):
                                      ys_in_lens, deterministic=deterministic)
         return l_x, r_x
 
-    def forward_one_step(self, memory, memory_pad_mask, ys, ys_mask):
+    def forward_one_step(self, memory, memory_pad_mask, ys_buffer, pos):
         return self.left_decoder.forward_one_step(
-            memory, memory_pad_mask, ys, ys_mask)
+            memory, memory_pad_mask, ys_buffer, pos)

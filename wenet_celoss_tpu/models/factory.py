@@ -70,8 +70,7 @@ def init_model(configs: Dict[str, Any]):
 
     model_conf = configs.get("model_conf", {})
     if "predictor" in configs:
-        from wenet_celoss_tpu.models.transducer import build_transducer
-        return build_transducer(configs, vocab_size, encoder, decoder, ctc)
+        return _build_transducer(configs, vocab_size, encoder, decoder, ctc)
     return ASRModel(
         vocab_size=vocab_size,
         encoder=encoder,
@@ -82,3 +81,63 @@ def init_model(configs: Dict[str, Any]):
         lsm_weight=model_conf.get("lsm_weight", 0.1),
         length_normalized_loss=model_conf.get("length_normalized_loss",
                                               False))
+
+
+def _build_transducer(configs, vocab_size, encoder, decoder, ctc):
+    """Transducer branch of the factory (reference `init_model.py:72-102`)."""
+    from wenet_celoss_tpu.models.context_bias import ContextBias
+    from wenet_celoss_tpu.models.joint import TransducerJoint
+    from wenet_celoss_tpu.models.predictor import PREDICTOR_CLASSES
+    from wenet_celoss_tpu.models.transducer import Transducer
+
+    enc_out = configs.get("encoder_conf", {}).get("output_size", 256)
+    predictor_type = configs.get("predictor", "rnn")
+    pred_conf = dict(configs.get("predictor_conf", {}))
+    if predictor_type != "rnn":
+        pred_conf.pop("output_size", None)
+        pred_conf.pop("hidden_size", None)
+        pred_conf.pop("num_layers", None)
+        pred_conf.pop("rnn_type", None)
+        pred_conf.pop("dropout", None)
+        pred_out_size = pred_conf.get("embed_size", enc_out)
+    else:
+        pred_out_size = pred_conf.get("output_size", enc_out)
+    predictor = PREDICTOR_CLASSES[predictor_type](
+        voca_size=vocab_size, **pred_conf)
+
+    joint_conf = dict(configs.get("joint_conf", {}))
+    joint = TransducerJoint(
+        voca_size=vocab_size, enc_output_size=enc_out,
+        pred_output_size=pred_out_size, **joint_conf)
+
+    context_bias = None
+    if configs.get("context", "nobias") != "nobias":
+        ctx_conf = dict(configs.get("context_conf", {}))
+        ctx_conf.pop("bias_encoder", None)  # unused flag in the reference
+        context_bias = ContextBias(
+            output_size=enc_out, vocab_size=vocab_size, **ctx_conf)
+
+    model_conf = dict(configs.get("model_conf", {}))
+    tw = model_conf.get("transducer_weight", 1.0)
+    cw = model_conf.get("ctc_weight", 0.0)
+    aw = model_conf.get("attention_weight", 1.0 - tw - cw)
+    assert abs(tw + cw + aw - 1.0) < 1e-6, \
+        "transducer + ctc + attention weights must sum to 1"
+    return Transducer(
+        vocab_size=vocab_size,
+        blank=0,
+        encoder=encoder,
+        decoder=decoder,
+        ctc=ctc,
+        predictor=predictor,
+        joint=joint,
+        context_bias=context_bias,
+        ctc_weight=cw,
+        transducer_weight=tw,
+        attention_weight=aw,
+        reverse_weight=model_conf.get("reverse_weight", 0.0),
+        lsm_weight=model_conf.get("lsm_weight", 0.0),
+        length_normalized_loss=model_conf.get("length_normalized_loss",
+                                              False),
+        hw_weight=model_conf.get("hw_weight", 0.4),
+        loss_mode=model_conf.get("loss_mode", "both"))

@@ -1,0 +1,60 @@
+"""Transducer joint network.
+
+Parity with reference ``wenet/transducer/joint.py:9-70``: optional pre-join
+linear projections of encoder/predictor streams to join_dim, broadcast add
+over [B, T, U, V], activation (tanh), output linear to vocab.
+
+`single` computes one (t, u) cell batch — used by greedy/beam decoding so
+the [B, T, U, V] tensor is never materialized at decode time.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wenet_celoss_tpu.utils.common import get_activation
+
+
+class TransducerJoint(nn.Module):
+    voca_size: int
+    enc_output_size: int
+    pred_output_size: int
+    join_dim: int
+    prejoin_linear: bool = True
+    postjoin_linear: bool = False
+    joint_mode: str = "add"
+    activation: str = "tanh"
+
+    def setup(self):
+        assert self.joint_mode == "add"
+        if not self.prejoin_linear and not self.postjoin_linear:
+            assert self.enc_output_size == self.pred_output_size == \
+                self.join_dim
+        if self.prejoin_linear:
+            self.enc_ffn = nn.Dense(self.join_dim)
+            self.pred_ffn = nn.Dense(self.join_dim)
+        if self.postjoin_linear:
+            self.post_ffn = nn.Dense(self.join_dim)
+        self.ffn_out = nn.Dense(self.voca_size)
+
+    def _combine(self, enc, pred):
+        act = get_activation(self.activation)
+        out = enc + pred
+        if self.postjoin_linear:
+            out = self.post_ffn(out)
+        return self.ffn_out(act(out))
+
+    def __call__(self, enc_out: jnp.ndarray, pred_out: jnp.ndarray):
+        """enc_out [B, T, E], pred_out [B, U, P] → [B, T, U, V]."""
+        if self.prejoin_linear:
+            enc_out = self.enc_ffn(enc_out)
+            pred_out = self.pred_ffn(pred_out)
+        return self._combine(enc_out[:, :, None, :], pred_out[:, None, :, :])
+
+    def single(self, enc_t: jnp.ndarray, pred_u: jnp.ndarray):
+        """enc_t [B, E], pred_u [B, P] → logits [B, V] (decode hot path)."""
+        if self.prejoin_linear:
+            enc_t = self.enc_ffn(enc_t)
+            pred_u = self.pred_ffn(pred_u)
+        return self._combine(enc_t, pred_u)

@@ -1,0 +1,176 @@
+"""Transducer (RNN-T) model with contextual biasing + hotword CE loss.
+
+Parity with reference ``wenet/transducer/transducer.py:20-331``: conformer
+encoder + predictor + additive joint, loss =
+``transducer_weight * RNNT + ctc_weight * CTC + attention_weight * AED
++ hw_weight * CE(hotword-gate)`` with the fork's three hotword loss modes
+(`transducer.py:170-262`):
+- 'pred': classify from the unbiased predictor stream attending over the
+  hotword list; targets = hw_label (binary per token).
+- 'both': dec-bias queries attend over enc-bias keys in a unified hw
+  space; targets = hw_label.
+- 'sep': independent dec-side projection classifies per-phrase ids;
+  targets = blank-prepended hw_label.
+
+The RNN-T loss is the wavefront-scan implementation in ops/rnnt_loss.py
+(replacing torchaudio.functional.rnnt_loss).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wenet_celoss_tpu.models.asr_model import ASRModel
+from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss
+from wenet_celoss_tpu.utils.common import IGNORE_ID, add_blank
+
+
+def _cross_entropy_mean(logits: jnp.ndarray, targets: jnp.ndarray):
+    """Plain CE, mean over ALL positions (the reference's hw criterion uses
+    no ignore mask — padding was mapped to class 0/blank first,
+    `transducer.py:63-66,175-201`)."""
+    logq = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logq, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+class Transducer(ASRModel):
+    """Fields beyond ASRModel all carry defaults (dataclass inheritance)."""
+    blank: int = 0
+    predictor: Optional[nn.Module] = None
+    joint: Optional[nn.Module] = None
+    context_bias: Optional[nn.Module] = None
+    transducer_weight: float = 1.0
+    attention_weight: float = 0.0
+    hw_weight: float = 0.0
+    loss_mode: str = "both"   # pred | both | sep
+
+    def __call__(self, speech, speech_lengths, text, text_lengths,
+                 context_list=None, context_lengths=None, hw_label=None,
+                 context_n_valid=None, *,
+                 deterministic: bool = True, train: bool = False,
+                 chunk_rng: jax.Array | None = None) -> Dict[str, Any]:
+        use_bias = self.context_bias is not None and context_list is not None
+
+        bias_hidden = None
+        if use_bias:
+            bias_hidden = self.context_bias.forward_bias_hidden(
+                context_list, context_lengths, context_n_valid)
+
+        encoder_out, enc_pad_mask = self.encoder(
+            speech, speech_lengths, deterministic=deterministic, train=train,
+            chunk_rng=chunk_rng)
+        encoder_lens = jnp.sum(enc_pad_mask.astype(jnp.int32), axis=1)
+
+        enc_bias = pred_bias = None
+        if use_bias:
+            encoder_out, enc_bias = self.context_bias.forward_encoder_bias(
+                bias_hidden, encoder_out, context_n_valid)
+
+        ys_in = add_blank(text, text_lengths, self.blank, self.ignore_id)
+        predictor_out = self.predictor(ys_in, deterministic=deterministic)
+        predictor_out_unbiased = predictor_out
+        if use_bias:
+            predictor_out, pred_bias = \
+                self.context_bias.forward_predictor_bias(
+                    bias_hidden, predictor_out, context_n_valid)
+
+        joint_out = self.joint(encoder_out, predictor_out)   # [B, T, U+1, V]
+        rnnt_text = jnp.where(text == self.ignore_id, 0, text)
+        loss_rnnt = jnp.mean(rnnt_loss(
+            joint_out, rnnt_text, encoder_lens, text_lengths,
+            blank=self.blank))
+        loss = self.transducer_weight * loss_rnnt
+
+        loss_att = jnp.zeros((), jnp.float32)
+        attention_decoder_weight = 1.0 - self.transducer_weight \
+            - self.ctc_weight
+        if attention_decoder_weight > 0.0 and self.decoder is not None:
+            loss_att, _ = self._calc_att_loss(
+                encoder_out, enc_pad_mask, text, text_lengths,
+                deterministic=deterministic)
+            loss = loss + attention_decoder_weight * loss_att
+
+        loss_ctc = jnp.zeros((), jnp.float32)
+        if self.ctc_weight > 0.0 and self.ctc is not None:
+            loss_ctc = self.ctc(encoder_out, encoder_lens, text, text_lengths,
+                                deterministic=deterministic)
+            loss = loss + self.ctc_weight * loss_ctc
+
+        hw_loss = jnp.zeros((), jnp.float32)
+        if use_bias and self.hw_weight > 0.0 and hw_label is not None:
+            hw_loss = self._calc_hw_loss(
+                bias_hidden, predictor_out_unbiased, enc_bias, pred_bias,
+                hw_label)
+            loss = loss + self.hw_weight * hw_loss
+
+        return {"loss": loss, "loss_att": loss_att, "loss_ctc": loss_ctc,
+                "loss_rnnt": loss_rnnt, "hw_loss": hw_loss}
+
+    def _calc_hw_loss(self, bias_hidden, predictor_out_unbiased, enc_bias,
+                      pred_bias, hw_label):
+        """Reference `transducer.py:170-262`. hw_label: [B, U] (-1 padded)."""
+        clean = jnp.where(hw_label == self.ignore_id, 0, hw_label)
+        if self.loss_mode == "pred":
+            hw_output = self.context_bias.forward_hw_pred(
+                bias_hidden, predictor_out_unbiased)     # [B, U+1, num_labels]
+            return _cross_entropy_mean(hw_output[:, :-1], clean)
+        if self.loss_mode == "both":
+            hw_output = self.context_bias.forward_hw_pred_both(
+                enc_bias, pred_bias)                     # [B, U+1, num_labels]
+            return _cross_entropy_mean(hw_output[:, :-1], clean)
+        # 'sep': targets get a prepended blank; dec head classifies
+        # per-phrase ids in the unified hw space.
+        _, dec_hw = self.context_bias.forward_hw_pred_both_sep(
+            enc_bias, pred_bias)                         # [B, U+1, hw_odim]
+        target = jnp.concatenate(
+            [jnp.zeros((clean.shape[0], 1), clean.dtype), clean], axis=1)
+        return _cross_entropy_mean(dec_hw, target)
+
+    # ------------------------------------------------------------------
+    # Decode-support methods
+    # ------------------------------------------------------------------
+    def bias_hidden(self, context_list, context_lengths, context_n_valid=None):
+        return self.context_bias.forward_bias_hidden(
+            context_list, context_lengths, context_n_valid)
+
+    def encode_transducer(self, speech, speech_lengths, bias_hidden=None,
+                          context_n_valid=None):
+        """Encode and (optionally) bias; returns both streams for the
+        gate-aware greedy search (reference `greedy_search.py:64-89`)."""
+        encoder_out, enc_pad_mask = self.encoder(
+            speech, speech_lengths, deterministic=True)
+        enc_bias = None
+        encoder_out_biased = encoder_out
+        if bias_hidden is not None:
+            encoder_out_biased, enc_bias = \
+                self.context_bias.forward_encoder_bias(
+                    bias_hidden, encoder_out, context_n_valid)
+        return encoder_out, encoder_out_biased, enc_bias, enc_pad_mask
+
+    def predictor_init_state(self, batch_size: int):
+        return self.predictor.init_state(batch_size)
+
+    def predictor_step(self, token, state, padding=None):
+        return self.predictor.forward_step(token, state, padding)
+
+    def predictor_bias_step(self, bias_hidden, pred_out, context_n_valid=None):
+        """Bias a single predictor output [B, P] (as [B, 1, P])."""
+        out, pred_bias = self.context_bias.forward_predictor_bias(
+            bias_hidden, pred_out[:, None, :], context_n_valid)
+        return out[:, 0], pred_bias[:, 0]
+
+    def hw_gate_step(self, enc_bias_t, pred_bias_u):
+        """Per-step hotword-gate logits for the gate-aware greedy decode:
+        [B, E] enc bias at frame t, [B, E] pred bias at step u → [B, num_labels]."""
+        hw = self.context_bias.forward_hw_pred_both(
+            enc_bias_t[:, None, :], pred_bias_u[:, None, :])
+        return hw[:, 0]
+
+    def joint_step(self, enc_t, pred_u):
+        """[B, E] x [B, P] → joint logits [B, V]."""
+        return self.joint.single(enc_t, pred_u)

@@ -148,6 +148,33 @@ def _fbank_impl(wav: jnp.ndarray, lengths: jnp.ndarray, cfg: FbankConfig,
     return feats, feat_lens
 
 
+def compute_fbank_np(wav: np.ndarray, cfg: FbankConfig = FbankConfig(),
+                     rng: np.random.Generator | None = None) -> np.ndarray:
+    """Host-side (numpy) fbank for the input pipeline workers — identical
+    DSP chain to the JAX path (shared window/mel tables). [S] → [T, M]."""
+    wav = np.asarray(wav, np.float32)
+    n = int(num_frames(len(wav), cfg))
+    if n <= 0:
+        return np.zeros((0, cfg.num_mel_bins), np.float32)
+    shift, length = cfg.frame_shift, cfg.frame_length
+    idx = np.arange(n)[:, None] * shift + np.arange(length)[None, :]
+    frames = wav[idx]
+    if cfg.dither > 0.0 and rng is not None:
+        frames = frames + cfg.dither * rng.standard_normal(
+            frames.shape).astype(np.float32)
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis > 0.0:
+        shifted = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - cfg.preemphasis * shifted
+    frames = frames * _window(cfg)
+    spec = np.fft.rfft(frames, n=cfg.fft_size, axis=1)
+    power = spec.real**2 + spec.imag**2
+    mel = power @ mel_banks(cfg).T
+    return np.log(np.maximum(mel, np.finfo(np.float32).tiny)).astype(
+        np.float32)
+
+
 def compute_fbank(wav: jnp.ndarray, lengths: jnp.ndarray | None = None,
                   cfg: FbankConfig = FbankConfig(),
                   dither_key: jax.Array | None = None):

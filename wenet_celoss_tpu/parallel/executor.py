@@ -1,0 +1,78 @@
+"""Epoch train/cv loops.
+
+Parity with reference ``wenet/utils/executor.py:24-184`` (per-batch grad
+accumulation, clip + NaN skip, interval logging, cv loss aggregation) on
+top of the SPMD step functions in parallel/train.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from wenet_celoss_tpu.parallel import train as T
+from wenet_celoss_tpu.parallel.mesh import shard_batch
+
+
+class Executor:
+    def __init__(self, model, tx, schedule, mesh=None, accum_grad: int = 1,
+                 log_interval: int = 100, rng=None):
+        self.model = model
+        self.mesh = mesh
+        self.accum_grad = accum_grad
+        self.log_interval = log_interval
+        self.grad_fn = T.make_grad_fn(model, accum_grad)
+        self.apply_fn = T.make_apply_fn(tx)
+        self.eval_fn = T.make_eval_fn(model)
+        self.schedule = schedule
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.step = 0
+
+    def _place(self, batch: Dict) -> Dict:
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return {k: v for k, v in batch.items() if k != "keys"}
+
+    def train_epoch(self, state, data: Iterable[Dict], epoch: int = 0):
+        acc = None
+        n_acc = 0
+        t0 = time.time()
+        frames = 0
+        for batch_idx, batch in enumerate(data):
+            placed = self._place(batch)
+            self.rng, rng = jax.random.split(self.rng)
+            grads, metrics, new_bs = self.grad_fn(state, placed, rng)
+            if new_bs is not None:
+                state = state.replace(batch_stats=new_bs)
+            acc = T.accumulate(acc, grads)
+            n_acc += 1
+            frames += int(np.sum(batch["feat_lengths"]))
+            if n_acc >= self.accum_grad:
+                state, gnorm = self.apply_fn(state, acc)
+                acc, n_acc = None, 0
+                self.step = int(state.step)
+            if batch_idx % self.log_interval == 0:
+                lr = float(self.schedule(max(self.step, 1)))
+                elapsed = time.time() - t0
+                logging.info(
+                    "epoch %d batch %d loss %.4f lr %.6g "
+                    "audio-s/s %.1f",
+                    epoch, batch_idx, float(metrics["loss"]), lr,
+                    frames / 100.0 / max(elapsed, 1e-6))
+        return state
+
+    def cv(self, state, data: Iterable[Dict]) -> float:
+        total, count = 0.0, 0
+        for batch in data:
+            placed = self._place(batch)
+            metrics = self.eval_fn(state, placed)
+            loss = float(metrics["loss"])
+            if np.isfinite(loss):
+                b = len(batch["keys"])
+                total += loss * b
+                count += b
+        return total / max(count, 1)

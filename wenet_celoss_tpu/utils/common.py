@@ -98,7 +98,12 @@ def log_add(args: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jax.nn.logsumexp(args, axis=axis)
 
 
-LOG_ZERO = -1.0e30
+# Log-domain "zero". Deliberately NOT -inf or -1e30: XLA's vectorized exp
+# does range reduction with k = round(x / ln2) and k must fit an int32, so
+# exp(-1e30) can return garbage (~2e-5 on CPU) instead of 0. -1e6 keeps
+# k ≈ -1.4e6 well inside int32 while being unreachable by any legitimate
+# accumulated log-probability.
+LOG_ZERO = -1.0e6
 
 
 def remove_duplicates_and_blank(hyp: Sequence[int], blank: int = 0) -> List[int]:
