@@ -77,7 +77,7 @@ def read_wav(source) -> Tuple[np.ndarray, int]:
 
 def write_wav(path, samples: np.ndarray, sample_rate: int):
     """Write PCM16 WAV; samples float in int16 range."""
-    x = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+    x = np.clip(np.round(np.asarray(samples)), -32768, 32767).astype("<i2")
     channels = 1 if x.ndim == 1 else x.shape[1]
     data = x.tobytes()
     with open(path, "wb") as f:

@@ -1,0 +1,221 @@
+"""High-level decode API: one call per decode mode, given (model, params).
+
+Mirrors the mode dispatch of reference ``wenet/bin/recognize.py:64-72,
+259-362`` (attention / ctc_greedy_search / ctc_prefix_beam_search /
+attention_rescoring / rnnt_greedy_search / rnnt_beam_search /
+rnnt_beam_attn_rescoring) as batched on-device searches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wenet_celoss_tpu.decode import (
+    attention_beam, ctc_greedy, ctc_prefix_beam, rescoring, rnnt_beam,
+    rnnt_greedy)
+from wenet_celoss_tpu.utils.common import remove_duplicates_and_blank
+
+
+class Decoder:
+    """Stateful wrapper binding a model + params to decode calls."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+
+    # -------------------------------------------------------------- CTC/AED
+    def encode_ctc(self, feats, feat_lens, decoding_chunk_size=-1,
+                   num_decoding_left_chunks=-1):
+        return self.model.apply(
+            self.params, feats, feat_lens, decoding_chunk_size,
+            num_decoding_left_chunks, method="encode_ctc")
+
+    def ctc_greedy_search(self, feats, feat_lens, **kw) -> List[List[int]]:
+        _, mask, ctc_lp = self.encode_ctc(feats, feat_lens, **kw)
+        return ctc_greedy.ctc_greedy_search(ctc_lp, mask)
+
+    def ctc_prefix_beam_search(self, feats, feat_lens, beam: int = 10,
+                               **kw):
+        enc, mask, ctc_lp = self.encode_ctc(feats, feat_lens, **kw)
+        lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+        res = ctc_prefix_beam.ctc_prefix_beam_search(
+            ctc_lp, lens, beam=beam, first_beam=max(beam, 10))
+        return ctc_prefix_beam.nbest_to_lists(res, 1), res, enc, mask
+
+    def attention(self, feats, feat_lens, beam: int = 10,
+                  max_len: int = 0, **kw) -> List[List[int]]:
+        enc, mask, _ = self.encode_ctc(feats, feat_lens, **kw)
+        if max_len <= 0:
+            max_len = int(enc.shape[1])
+
+        def one_step(memory, memory_mask, buf, pos):
+            return self.model.apply(self.params, memory, memory_mask, buf,
+                                    pos, method="decoder_one_step")
+
+        hyps, lens, _ = attention_beam.attention_beam_search(
+            one_step, enc, mask, self.model.sos, self.model.eos, beam,
+            max_len)
+        return attention_beam.attention_hyps_to_lists(hyps, lens,
+                                                      self.model.eos)
+
+    def attention_rescoring(self, feats, feat_lens, beam: int = 10,
+                            ctc_weight: float = 0.0,
+                            reverse_weight: float = 0.0,
+                            **kw) -> List[List[int]]:
+        _, res, enc, mask = self.ctc_prefix_beam_search(
+            feats, feat_lens, beam=beam, **kw)
+
+        def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
+                      rw):
+            return self.model.apply(
+                self.params, memory, memory_mask, hyps_in, hyps_lens,
+                r_hyps_in, rw, method="decoder_scores")
+
+        best_tokens, best_lens, _ = rescoring.attention_rescoring(
+            scores_fn, enc, mask, res, self.model.sos, self.model.eos,
+            ctc_weight, reverse_weight)
+        toks = np.asarray(best_tokens)
+        lens = np.asarray(best_lens)
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]
+
+    # ---------------------------------------------------------- Transducer
+    def _transducer_fns(self, batch_size: int):
+        model, params = self.model, self.params
+
+        def predictor_step(tok, state, padding=None):
+            return model.apply(params, tok, state, padding,
+                               method="predictor_step")
+
+        def joint_step(enc_t, pred_u):
+            return model.apply(params, enc_t, pred_u, method="joint_step")
+
+        init_state = model.apply(params, batch_size,
+                                 method="predictor_init_state")
+        return predictor_step, joint_step, init_state
+
+    def rnnt_greedy_search(self, feats, feat_lens, n_steps: int = 4,
+                           context_list=None, context_lengths=None,
+                           context_filter_state: str = "off",
+                           ) -> List[List[int]]:
+        b = feats.shape[0]
+        model, params = self.model, self.params
+        bias_hidden = None
+        if context_list is not None:
+            bias_hidden = model.apply(params, context_list,
+                                      context_lengths, method="bias_hidden")
+        enc, enc_biased, enc_bias, mask = model.apply(
+            params, feats, feat_lens, bias_hidden,
+            method="encode_transducer")
+        enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+        predictor_step, joint_step, init_state = self._transducer_fns(b)
+
+        if bias_hidden is None:
+            toks, lens = rnnt_greedy.rnnt_greedy_search(
+                predictor_step, joint_step, init_state, enc, enc_lens,
+                blank=model.blank, n_steps=n_steps)
+            return rnnt_greedy.greedy_to_lists(toks, lens)
+
+        def predictor_bias_step(pred_out):
+            return model.apply(params, bias_hidden, pred_out,
+                               method="predictor_bias_step")
+
+        def gate_step(enc_bias_t, pred_bias_u):
+            return model.apply(params, enc_bias_t, pred_bias_u,
+                               method="hw_gate_step")
+
+        toks, lens, gates = rnnt_greedy.rnnt_gated_greedy_search(
+            predictor_step, predictor_bias_step, joint_step, gate_step,
+            init_state, enc, enc_biased, enc_bias, enc_lens,
+            blank=model.blank, n_steps=n_steps,
+            gate_on=(context_filter_state == "on"))
+        self.last_gates = (gates, lens)
+        return rnnt_greedy.greedy_to_lists(toks, lens)
+
+    def rnnt_beam_search(self, feats, feat_lens, beam: int = 5,
+                         ctc_weight: float = 0.0,
+                         transducer_weight: float = 1.0,
+                         context_list=None, context_lengths=None):
+        b = feats.shape[0]
+        model, params = self.model, self.params
+        bias_hidden = None
+        if context_list is not None:
+            bias_hidden = model.apply(params, context_list,
+                                      context_lengths, method="bias_hidden")
+        enc, enc_biased, _, mask = model.apply(
+            params, feats, feat_lens, bias_hidden,
+            method="encode_transducer")
+        enc_use = enc_biased if bias_hidden is not None else enc
+        enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+        predictor_step, joint_step, _ = self._transducer_fns(b * beam)
+        init_state = model.apply(params, b * beam,
+                                 method="predictor_init_state")
+        ctc_lp = None
+        if ctc_weight > 0.0:
+            ctc_lp = model.apply(params, enc_use, method="ctc_logprobs")
+
+        if bias_hidden is not None:
+            def joint_biased(enc_t, pred_u):
+                pred_b, _ = model.apply(params, bias_hidden, pred_u,
+                                        method="predictor_bias_step")
+                return model.apply(params, enc_t, pred_b,
+                                   method="joint_step")
+            joint_fn = joint_biased
+        else:
+            joint_fn = joint_step
+
+        res = rnnt_beam.rnnt_prefix_beam_search(
+            predictor_step, joint_fn, init_state, enc_use, enc_lens,
+            beam=beam, topk=min(beam, 10), ctc_log_probs=ctc_lp,
+            transducer_weight=transducer_weight, ctc_weight=ctc_weight,
+            blank=model.blank, state_gather=self._state_gather())
+        return res, enc_use, mask
+
+    def _state_gather(self):
+        pred_type = type(self.model.predictor).__name__
+        if pred_type == "RNNPredictor":
+            return lambda st, idx: jax.tree_util.tree_map(
+                lambda x: x[:, idx], st)
+        return None
+
+    def rnnt_beam_to_lists(self, res) -> List[List[int]]:
+        toks = np.asarray(res["tokens"][:, 0])
+        lens = np.asarray(res["lens"][:, 0])
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]
+
+    def rnnt_beam_attn_rescoring(self, feats, feat_lens, beam: int = 5,
+                                 attn_weight: float = 1.0,
+                                 transducer_weight: float = 1.0,
+                                 search_ctc_weight: float = 0.0,
+                                 reverse_weight: float = 0.0,
+                                 context_list=None, context_lengths=None
+                                 ) -> List[List[int]]:
+        """Transducer n-best re-ranked by the attention decoder
+        (reference `transducer.py:379-513`)."""
+        res, enc, mask = self.rnnt_beam_search(
+            feats, feat_lens, beam=beam, ctc_weight=search_ctc_weight,
+            transducer_weight=transducer_weight,
+            context_list=context_list, context_lengths=context_lengths)
+
+        def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
+                      rw):
+            return self.model.apply(
+                self.params, memory, memory_mask, hyps_in, hyps_lens,
+                r_hyps_in, rw, method="decoder_scores")
+
+        att = rescoring.score_hyps_with_decoder(
+            scores_fn, enc, mask, res["tokens"], res["lens"],
+            self.model.sos, self.model.eos, reverse_weight)
+        total = attn_weight * att + transducer_weight * res["scores"]
+        best = jnp.argmax(total, axis=1)
+        toks = np.asarray(jnp.take_along_axis(
+            res["tokens"], best[:, None, None], axis=1)[:, 0])
+        lens = np.asarray(jnp.take_along_axis(res["lens"], best[:, None],
+                                              axis=1)[:, 0])
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]
