@@ -156,3 +156,43 @@ class TestRnntLoss:
                                jnp.array([1]), jnp.array([0]))[0])
         expected = -float(jax.nn.log_softmax(logits[0, 0, 0])[0])
         assert loss == pytest.approx(expected, rel=1e-5)
+
+
+class TestRnntLossFused:
+    def test_loss_and_grad_match_autodiff(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_fused
+        rng = np.random.default_rng(11)
+        b, t, u, v = 3, 7, 4, 6
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v)),
+                             dtype=jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), dtype=jnp.int32)
+        ilens = jnp.array([7, 5, 4])
+        llens = jnp.array([4, 3, 0])
+
+        l_ref = rnnt_loss(logits, labels, ilens, llens)
+        l_fused = rnnt_loss_fused(logits, labels, ilens, llens)
+        np.testing.assert_allclose(np.asarray(l_fused), np.asarray(l_ref),
+                                   rtol=1e-5)
+
+        g_ref = jax.grad(lambda x: jnp.sum(
+            rnnt_loss(x, labels, ilens, llens)))(logits)
+        g_fused = jax.grad(lambda x: jnp.sum(
+            rnnt_loss_fused(x, labels, ilens, llens)))(logits)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_weighted_grad(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_fused
+        rng = np.random.default_rng(12)
+        b, t, u, v = 2, 5, 3, 4
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v)),
+                             dtype=jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), dtype=jnp.int32)
+        ilens, llens = jnp.array([5, 4]), jnp.array([3, 2])
+        w = jnp.array([0.3, 1.7])
+        g1 = jax.grad(lambda x: jnp.sum(w * rnnt_loss_fused(
+            x, labels, ilens, llens)))(logits)
+        g2 = jax.grad(lambda x: jnp.sum(w * rnnt_loss(
+            x, labels, ilens, llens)))(logits)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-5)

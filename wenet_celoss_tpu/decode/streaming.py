@@ -1,0 +1,59 @@
+"""Simulated / real streaming encode: chunk-by-chunk forward.
+
+Parity with reference ``encoder.forward_chunk_by_chunk``
+(`wenet/transformer/encoder.py:270-326`) and the C++ runtime's chunk
+arithmetic (`runtime/core/decoder/asr_model.h:41`):
+
+  stride          = subsampling_rate * chunk_size
+  decoding_window = (chunk_size - 1) * subsampling_rate + right_context + 1
+
+Each chunk step runs the SAME compiled program (fixed-size cache, traced
+offset — see models/encoder.py), so a long stream costs one compile.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chunk_geometry(subsampling_rate: int, right_context: int,
+                   decoding_chunk_size: int) -> Tuple[int, int]:
+    stride = subsampling_rate * decoding_chunk_size
+    window = (decoding_chunk_size - 1) * subsampling_rate \
+        + right_context + 1
+    return stride, window
+
+
+def forward_chunk_by_chunk(forward_chunk_fn: Callable, init_cache,
+                           feats: jnp.ndarray,
+                           subsampling_rate: int, right_context: int,
+                           decoding_chunk_size: int):
+    """Encode a full utterance chunk by chunk.
+
+    Args:
+      forward_chunk_fn: (xs [B, window, F], cache) -> (ys [B, c, D], cache)
+        — typically ``jax.jit(lambda xs, c: model.apply(params, xs, c,
+        method='encoder_forward_chunk'))``.
+      init_cache: cache pytree from ``encoder_init_cache``.
+      feats: [B, T, F] full features.
+    Returns: (ys [B, T', D] concatenated outputs, final cache)
+    """
+    b, num_frames, _ = feats.shape
+    stride, window = chunk_geometry(subsampling_rate, right_context,
+                                    decoding_chunk_size)
+    outputs = []
+    cache = init_cache
+    cur = 0
+    while cur + window <= num_frames:
+        chunk = jax.lax.dynamic_slice_in_dim(feats, cur, window, axis=1)
+        ys, cache = forward_chunk_fn(chunk, cache)
+        outputs.append(ys)
+        cur += stride
+    if not outputs:
+        raise ValueError(
+            f"utterance too short for one chunk: {num_frames} < {window}")
+    return jnp.concatenate(outputs, axis=1), cache

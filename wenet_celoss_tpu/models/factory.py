@@ -140,4 +140,5 @@ def _build_transducer(configs, vocab_size, encoder, decoder, ctc):
         length_normalized_loss=model_conf.get("length_normalized_loss",
                                               False),
         hw_weight=model_conf.get("hw_weight", 0.4),
-        loss_mode=model_conf.get("loss_mode", "both"))
+        loss_mode=model_conf.get("loss_mode", "both"),
+        fused_rnnt_loss=model_conf.get("fused_rnnt_loss", False))

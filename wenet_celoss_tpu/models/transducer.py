@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from wenet_celoss_tpu.models.asr_model import ASRModel
-from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss
+from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss, rnnt_loss_fused
 from wenet_celoss_tpu.utils.common import IGNORE_ID, add_blank
 
 
@@ -48,6 +48,10 @@ class Transducer(ASRModel):
     attention_weight: float = 0.0
     hw_weight: float = 0.0
     loss_mode: str = "both"   # pred | both | sep
+    # Closed-form-VJP loss: ~halves peak HBM for the [B,T,U,V] joint at the
+    # cost of a softmax recompute in backward. Worth it for large vocab /
+    # long batches; measured slower at small-vocab bench sizes.
+    fused_rnnt_loss: bool = False
 
     def __call__(self, speech, speech_lengths, text, text_lengths,
                  context_list=None, context_lengths=None, hw_label=None,
@@ -81,9 +85,13 @@ class Transducer(ASRModel):
 
         joint_out = self.joint(encoder_out, predictor_out)   # [B, T, U+1, V]
         rnnt_text = jnp.where(text == self.ignore_id, 0, text)
-        loss_rnnt = jnp.mean(rnnt_loss(
-            joint_out, rnnt_text, encoder_lens, text_lengths,
-            blank=self.blank))
+        if self.fused_rnnt_loss:
+            losses = rnnt_loss_fused(joint_out, rnnt_text, encoder_lens,
+                                     text_lengths, self.blank)
+        else:
+            losses = rnnt_loss(joint_out, rnnt_text, encoder_lens,
+                               text_lengths, blank=self.blank)
+        loss_rnnt = jnp.mean(losses)
         loss = self.transducer_weight * loss_rnnt
 
         loss_att = jnp.zeros((), jnp.float32)
