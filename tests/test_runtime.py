@@ -1,0 +1,197 @@
+"""C++ runtime integration tests: build, unit tests, cross-language fbank
+parity, and the full serving stack (C++ decoder_main ↔ JAX worker)."""
+
+import json
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILD = os.path.join(REPO, "runtime", "build")
+
+
+@pytest.fixture(scope="session")
+def runtime_build():
+    os.makedirs(BUILD, exist_ok=True)
+    subprocess.run(["cmake", "../core", "-G", "Ninja"], cwd=BUILD,
+                   check=True, capture_output=True)
+    subprocess.run(["ninja"], cwd=BUILD, check=True, capture_output=True)
+    return BUILD
+
+
+def test_cpp_unit_tests(runtime_build):
+    res = subprocess.run([os.path.join(runtime_build, "runtime_test")],
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "0 failed" in res.stdout
+
+
+def test_fbank_cross_language_parity(runtime_build, tmp_path):
+    """C++ serving fbank must match the training-side numpy/JAX fbank."""
+    from wenet_celoss_tpu.data.wav import write_wav
+    from wenet_celoss_tpu.ops.fbank import FbankConfig, compute_fbank_np
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000) * 8000).astype(np.float32)
+    path = tmp_path / "t.wav"
+    write_wav(path, wav, 16000)
+    # Read back (quantized to int16) for an apples-to-apples comparison.
+    from wenet_celoss_tpu.data.wav import read_wav
+    wav_q, _ = read_wav(str(path))
+
+    res = subprocess.run(
+        [os.path.join(runtime_build, "fbank_main"), str(path), "40"],
+        capture_output=True)
+    assert res.returncode == 0, res.stderr
+    t, d = struct.unpack("<II", res.stdout[:8])
+    cpp_feat = np.frombuffer(res.stdout[8:], "<f4").reshape(t, d)
+
+    py_feat = compute_fbank_np(wav_q, FbankConfig(num_mel_bins=40))
+    assert cpp_feat.shape == py_feat.shape
+    np.testing.assert_allclose(cpp_feat, py_feat, rtol=1e-3, atol=2e-3)
+
+
+def _train_tiny_streaming_model(tmp_path):
+    """Train a tiny chunked transformer CTC/AED model and save artifacts."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wenet_celoss_tpu.models.factory import init_model
+    from wenet_celoss_tpu.ops.fbank import FbankConfig, compute_fbank_np
+    from wenet_celoss_tpu.parallel import train as T
+    from wenet_celoss_tpu.utils import checkpoint as ckpt
+
+    mel = 23
+    chunk = 4
+    configs = {
+        "input_dim": mel, "output_dim": 8,
+        "encoder": "transformer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 64, "num_blocks": 1,
+                         "dropout_rate": 0.0,
+                         "positional_dropout_rate": 0.0,
+                         "input_layer": "conv2d",
+                         "pos_enc_layer_type": "abs_pos",
+                         "static_chunk_size": chunk},
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64,
+                         "num_blocks": 1, "r_num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "model_conf": {"ctc_weight": 0.7, "reverse_weight": 0.3,
+                       "lsm_weight": 0.0},
+        "dataset_conf": {"fbank_conf": {"num_mel_bins": mel}},
+    }
+    # Synthetic "speech": tones per label over raw audio → real fbank.
+    rng = np.random.default_rng(0)
+    freqs = {1: 400.0, 2: 1000.0, 3: 2400.0}
+    sr = 16000
+    seg = 3200  # 0.2s per token
+    b = 4
+    label_seqs = [[1, 2, 3], [3, 1, 2], [2, 3, 1], [1, 3, 2]]
+    feats, labels = [], []
+    for seq in label_seqs:
+        wav = np.concatenate([
+            8000 * np.sin(2 * np.pi * freqs[t]
+                          * np.arange(seg) / sr) for t in seq])
+        wav += rng.standard_normal(wav.shape) * 30
+        feats.append(compute_fbank_np(wav.astype(np.float32),
+                                      FbankConfig(num_mel_bins=mel)))
+        labels.append(seq)
+    t_max = max(f.shape[0] for f in feats)
+    feats_pad = np.zeros((b, t_max, mel), np.float32)
+    for i, f in enumerate(feats):
+        feats_pad[i, :f.shape[0]] = f
+    batch = {
+        "feats": jnp.asarray(feats_pad),
+        "feat_lengths": jnp.asarray([f.shape[0] for f in feats],
+                                    dtype=jnp.int32),
+        "labels": jnp.asarray(labels, dtype=jnp.int32),
+        "label_lengths": jnp.full((b,), 3, jnp.int32),
+    }
+    model = init_model(configs)
+    args = (batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"])
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(5e-3))
+    state = T.create_train_state(model, variables, tx)
+    grad_fn = T.make_grad_fn(model)
+    apply_fn = T.make_apply_fn(tx)
+    key = jax.random.PRNGKey(1)
+    for _ in range(250):
+        key, sub = jax.random.split(key)
+        grads, metrics, _ = grad_fn(state, batch, sub)
+        state, _ = apply_fn(state, grads)
+    loss = float(metrics["loss"])
+    assert loss < 1.5, f"tiny streaming model did not converge: {loss}"
+
+    model_dir = tmp_path / "model"
+    os.makedirs(model_dir, exist_ok=True)
+    ckpt.save_checkpoint(state.params, str(model_dir / "final.ckpt"), {})
+    with open(model_dir / "train.yaml", "w") as f:
+        yaml.dump(configs, f)
+    syms = {"<blank>": 0, "A": 1, "B": 2, "C": 3, "d": 4, "e": 5,
+            "f": 6, "<sos/eos>": 7}
+    with open(model_dir / "units.txt", "w") as f:
+        for s, i in syms.items():
+            f.write(f"{s} {i}\n")
+    # One eval wav: labels 2 1 3.
+    eval_seq = [2, 1, 3]
+    wav = np.concatenate([
+        8000 * np.sin(2 * np.pi * freqs[t] * np.arange(seg) / sr)
+        for t in eval_seq]).astype(np.float32)
+    from wenet_celoss_tpu.data.wav import write_wav
+    wav_path = tmp_path / "eval.wav"
+    write_wav(wav_path, wav, sr)
+    return model_dir, wav_path, "BAC", chunk, mel
+
+
+@pytest.mark.slow
+def test_serving_stack_end_to_end(runtime_build, tmp_path):
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [os.path.join(runtime_build, "decoder_main"),
+         "--wav_path", str(wav_path),
+         "--symbol_table", str(model_dir / "units.txt"),
+         "--worker_cmd", worker_cmd,
+         "--chunk_size", str(chunk),
+         "--num_bins", str(mel)],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    line = res.stdout.strip().splitlines()[-1]
+    hyp = line.split(maxsplit=1)[1] if " " in line else ""
+    assert hyp.replace(" ", "").upper() == expected, res.stdout + res.stderr
+
+
+@pytest.mark.slow
+def test_c_api_binding(runtime_build, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "runtime", "binding", "python"))
+    from wenet_tpu_runtime import Decoder
+
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    # NOTE: the C API's feature pipeline is fixed at 80 bins; use the
+    # worker's own config only if bins match. Here we exercise init/decode
+    # plumbing with the tiny 23-bin model via worker_cmd.txt.
+    with open(model_dir / "worker_cmd.txt", "w") as f:
+        f.write(f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+                f"--config {model_dir}/train.yaml "
+                f"--checkpoint {model_dir}/final.ckpt "
+                f"--chunk_size {chunk}\n")
+    os.environ.setdefault("PYTHONPATH", REPO)
+    dec = Decoder(str(model_dir),
+                  lib_path=os.path.join(runtime_build,
+                                        "libwenet_tpu_api.so"),
+                  chunk_size=chunk)
+    assert dec._handle

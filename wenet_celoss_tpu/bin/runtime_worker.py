@@ -1,0 +1,201 @@
+"""JAX/TPU inference worker for the C++ serving runtime.
+
+Counterpart of ``runtime/core/decoder/subprocess_asr_model.h`` — speaks the
+framed protocol over stdin/stdout; holds ONE compiled streaming program
+(fixed window, fixed-size caches) and the accumulated encoder outputs for
+attention rescoring. This is the TPU-native replacement for the reference's
+in-process TorchScript engine (`runtime/core/decoder/torch_asr_model.cc`):
+the accelerator math stays in JAX; C++ owns IO/search/serving.
+
+Protocol (little-endian):
+  in : 'I' u32(len) cfg_json?   → out: 'M' u32(len) meta_json
+  in : 'F' u32(T) u32(D) f32[T*D] → out: 'O' u32(T') u32(V) f32[T'*V]
+  in : 'R' u32(N) f32(rw) { u32(L) i32[L] }*N → out: 'S' u32(N) f32[N]
+  in : 'Q' → exit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import sys
+
+import numpy as np
+
+
+def read_exact(f, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = f.read(n - len(buf))
+        if not chunk:
+            raise EOFError
+        buf += chunk
+    return buf
+
+
+class Worker:
+    def __init__(self, args):
+        import jax
+
+        from wenet_celoss_tpu.models.factory import init_model
+        from wenet_celoss_tpu.utils import checkpoint as ckpt
+        from wenet_celoss_tpu.utils.config import load_config
+
+        self.jax = jax
+        configs = load_config(args.config)
+        self.configs = configs
+        self.chunk_size = args.chunk_size
+        self.num_left_chunks = args.num_left_chunks
+        self.model = init_model(configs)
+        import jax.numpy as jnp
+        self.jnp = jnp
+
+        ex = (np.zeros((1, 64, configs["input_dim"]), np.float32),
+              np.array([64], np.int32), np.ones((1, 4), np.int32),
+              np.array([4], np.int32))
+        variables = self.model.init(jax.random.PRNGKey(0), *ex)
+        if args.checkpoint:
+            variables["params"] = ckpt.load_checkpoint(
+                variables["params"], args.checkpoint)
+        self.variables = variables
+
+        enc = self.model.encoder
+        self.subsampling_rate = enc.subsampling_rate
+        self.right_context = enc.right_context
+        self.window = (self.chunk_size - 1) * self.subsampling_rate \
+            + self.right_context + 1
+        self.stride = self.chunk_size * self.subsampling_rate
+
+        self._fwd = jax.jit(lambda xs, cache: self.model.apply(
+            self.variables, xs, cache,
+            method="encoder_forward_chunk_ctc"))
+        self.reset()
+
+    def reset(self):
+        self.cache = self.model.apply(
+            self.variables, 1, self.chunk_size * max(self.num_left_chunks, 1)
+            if self.num_left_chunks > 0 else self.chunk_size * 4,
+            method="encoder_init_cache")
+        self.feat_buffer = np.zeros((0, self.configs["input_dim"]),
+                                    np.float32)
+        self.encoder_outs = []
+
+    def meta(self) -> dict:
+        return {
+            "subsampling_rate": self.subsampling_rate,
+            "right_context": self.right_context,
+            "sos": self.model.sos,
+            "eos": self.model.eos,
+        }
+
+    def forward_chunk(self, feats: np.ndarray) -> np.ndarray:
+        """Append raw frames; process every complete window; return the new
+        subsampled CTC log-probs. A final short tail (signalled by an empty
+        feats array) is zero-padded to the window."""
+        if feats.shape[0] > 0:
+            self.feat_buffer = np.concatenate(
+                [self.feat_buffer, feats.reshape(feats.shape[0], -1)],
+                axis=0)
+        outs = []
+        flush = feats.shape[0] == 0
+        while self.feat_buffer.shape[0] >= self.window or (
+                flush and self.feat_buffer.shape[0] > self.right_context):
+            win = self.feat_buffer[:self.window]
+            if win.shape[0] < self.window:
+                win = np.concatenate(
+                    [win, np.zeros((self.window - win.shape[0],
+                                    win.shape[1]), np.float32)], axis=0)
+            ys, ctc_lp, self.cache = self._fwd(
+                self.jnp.asarray(win[None]), self.cache)
+            self.encoder_outs.append(np.asarray(ys[0]))
+            outs.append(np.asarray(ctc_lp[0]))
+            self.feat_buffer = self.feat_buffer[self.stride:]
+            if flush and self.feat_buffer.shape[0] == 0:
+                break
+        if outs:
+            return np.concatenate(outs, axis=0)
+        dim_v = self.configs["output_dim"]
+        return np.zeros((0, dim_v), np.float32)
+
+    def rescore(self, hyps, reverse_weight: float) -> np.ndarray:
+        from wenet_celoss_tpu.decode.rescoring import \
+            score_hyps_with_decoder
+        if not self.encoder_outs:
+            return np.zeros((len(hyps),), np.float32)
+        memory = self.jnp.asarray(
+            np.concatenate(self.encoder_outs, axis=0)[None])
+        mask = self.jnp.ones((1, memory.shape[1]), bool)
+        n = len(hyps)
+        u_max = max(max((len(h) for h in hyps), default=1), 1)
+        toks = np.full((1, n, u_max), -1, np.int32)
+        lens = np.zeros((1, n), np.int32)
+        for i, h in enumerate(hyps):
+            toks[0, i, :len(h)] = h
+            lens[0, i] = len(h)
+
+        def scores_fn(mem, m, hin, hlens, rin, rw):
+            return self.model.apply(self.variables, mem, m, hin, hlens,
+                                    rin, rw, method="decoder_scores")
+
+        att = score_hyps_with_decoder(
+            scores_fn, memory, mask, self.jnp.asarray(toks),
+            self.jnp.asarray(lens), self.model.sos, self.model.eos,
+            reverse_weight)
+        return np.asarray(att[0], np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--chunk_size", type=int, default=16)
+    parser.add_argument("--num_left_chunks", type=int, default=-1)
+    args = parser.parse_args()
+
+    worker = Worker(args)
+    fin = sys.stdin.buffer
+    fout = sys.stdout.buffer
+
+    while True:
+        try:
+            tag = read_exact(fin, 1)
+        except EOFError:
+            return
+        if tag == b"Q":
+            return
+        if tag == b"I":
+            (cfg_len,) = struct.unpack("<I", read_exact(fin, 4))
+            if cfg_len:
+                read_exact(fin, cfg_len)
+            worker.reset()
+            meta = json.dumps(worker.meta()).encode()
+            fout.write(b"M" + struct.pack("<I", len(meta)) + meta)
+            fout.flush()
+        elif tag == b"F":
+            t, d = struct.unpack("<II", read_exact(fin, 8))
+            data = np.frombuffer(read_exact(fin, 4 * t * d),
+                                 np.float32).reshape(t, d)
+            out = worker.forward_chunk(data)
+            fout.write(b"O" + struct.pack("<II", out.shape[0],
+                                          out.shape[1]))
+            fout.write(out.astype("<f4").tobytes())
+            fout.flush()
+        elif tag == b"R":
+            (n,) = struct.unpack("<I", read_exact(fin, 4))
+            (rw,) = struct.unpack("<f", read_exact(fin, 4))
+            hyps = []
+            for _ in range(n):
+                (l,) = struct.unpack("<I", read_exact(fin, 4))
+                hyps.append(list(np.frombuffer(read_exact(fin, 4 * l),
+                                               "<i4")))
+            scores = worker.rescore(hyps, rw)
+            fout.write(b"S" + struct.pack("<I", len(scores)))
+            fout.write(scores.astype("<f4").tobytes())
+            fout.flush()
+        else:
+            raise RuntimeError(f"unknown tag {tag!r}")
+
+
+if __name__ == "__main__":
+    main()
