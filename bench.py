@@ -23,6 +23,9 @@ def main():
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)
+    dtype = os.environ.get("BENCH_DTYPE")
+    if dtype:
+        cfg["dtype"] = dtype
     model = init_model(cfg)
 
     b = int(os.environ.get("BENCH_BATCH", "8"))

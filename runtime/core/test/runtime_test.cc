@@ -17,6 +17,7 @@
 #include "utils/string.h"
 #include "utils/thread_pool.h"
 #include "utils/utils.h"
+#include "websocket/websocket.h"
 
 using namespace wenet_tpu;
 
@@ -220,6 +221,32 @@ TEST(CtcEndpoint, MaxUtteranceLength) {
   std::vector<std::vector<float>> chunk(5, speech_frame);  // 200ms
   EXPECT_FALSE(ep.IsEndpoint(chunk, false));
   EXPECT_TRUE(ep.IsEndpoint(chunk, false));  // cumulative 400ms
+}
+
+TEST(WebSocket, AcceptKeyRfcExample) {
+  // RFC 6455 section 1.3 example.
+  EXPECT_EQ(ws::AcceptKey("dGhlIHNhbXBsZSBub25jZQ=="),
+            std::string("s3pPLMBiTxaQ9kYGzzhZRbK+xOo="));
+}
+
+TEST(WebSocket, FrameRoundTrip) {
+  int fds[2];
+  ASSERT_TRUE(socketpair(AF_UNIX, SOCK_STREAM, 0, fds) == 0);
+  std::string payload(70000, 'x');  // forces 64-bit length path
+  payload[0] = 'a';
+  EXPECT_TRUE(ws::WriteMessage(fds[0], ws::kBinary, payload));
+  ws::Opcode op;
+  std::string got;
+  EXPECT_TRUE(ws::ReadMessage(fds[1], &op, &got));
+  EXPECT_EQ(op, ws::kBinary);
+  EXPECT_TRUE(got == payload);
+  // Small text frame.
+  EXPECT_TRUE(ws::WriteMessage(fds[1], ws::kText, "hello"));
+  EXPECT_TRUE(ws::ReadMessage(fds[0], &op, &got));
+  EXPECT_EQ(op, ws::kText);
+  EXPECT_EQ(got, std::string("hello"));
+  close(fds[0]);
+  close(fds[1]);
 }
 
 MINI_TEST_MAIN()

@@ -31,14 +31,15 @@ class MultiHeadedAttention(nn.Module):
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
+    dtype: object = None  # compute dtype (e.g. bf16); params stay fp32
 
     def setup(self):
         assert self.n_feat % self.n_head == 0
         self.d_k = self.n_feat // self.n_head
-        self.linear_q = nn.Dense(self.n_feat)
-        self.linear_k = nn.Dense(self.n_feat)
-        self.linear_v = nn.Dense(self.n_feat)
-        self.linear_out = nn.Dense(self.n_feat)
+        self.linear_q = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_k = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -106,7 +107,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
     def setup(self):
         super().setup()
-        self.linear_pos = nn.Dense(self.n_feat, use_bias=False)
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False,
+                                   dtype=self.dtype)
         self.pos_bias_u = self.param(
             "pos_bias_u", nn.initializers.xavier_uniform(),
             (self.n_head, self.d_k))

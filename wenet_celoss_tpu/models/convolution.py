@@ -19,15 +19,17 @@ class ConvolutionModule(nn.Module):
     norm: str = "batch_norm"   # batch_norm | layer_norm
     causal: bool = False
     use_bias: bool = True
+    dtype: object = None
 
     def setup(self):
         self.pointwise_conv1 = nn.Dense(2 * self.channels,
-                                        use_bias=self.use_bias)
+                                        use_bias=self.use_bias,
+                                        dtype=self.dtype)
         # Depthwise conv over time: feature_group_count = channels.
         self.depthwise_conv = nn.Conv(
             features=self.channels, kernel_size=(self.kernel_size,),
             feature_group_count=self.channels, padding="VALID",
-            use_bias=self.use_bias)
+            use_bias=self.use_bias, dtype=self.dtype)
         if self.norm == "batch_norm":
             assert not self.causal, \
                 "causal streaming requires layer_norm (ref convolution.py:49)"
@@ -35,7 +37,9 @@ class ConvolutionModule(nn.Module):
                                            momentum=0.9, epsilon=1e-5)
         else:
             self.norm_layer = nn.LayerNorm(epsilon=1e-5)
-        self.pointwise_conv2 = nn.Dense(self.channels, use_bias=self.use_bias)
+        self.pointwise_conv2 = nn.Dense(self.channels,
+                                        use_bias=self.use_bias,
+                                        dtype=self.dtype)
         self.lorder = self.kernel_size - 1 if self.causal else 0
 
     def _conv_body(self, x, pad_mask, *, train: bool):

@@ -34,14 +34,17 @@ class DecoderLayer(nn.Module):
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
     concat_after: bool = False
+    dtype: object = None
 
     def setup(self):
         self.self_attn = MultiHeadedAttention(
-            self.attention_heads, self.size, self.self_attention_dropout_rate)
+            self.attention_heads, self.size, self.self_attention_dropout_rate,
+            dtype=self.dtype)
         self.src_attn = MultiHeadedAttention(
-            self.attention_heads, self.size, self.src_attention_dropout_rate)
+            self.attention_heads, self.size, self.src_attention_dropout_rate,
+            dtype=self.dtype)
         self.feed_forward = PositionwiseFeedForward(
-            self.linear_units, self.dropout_rate)
+            self.linear_units, self.dropout_rate, dtype=self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.norm3 = nn.LayerNorm(epsilon=1e-5)
@@ -93,6 +96,7 @@ class TransformerDecoder(nn.Module):
     use_output_layer: bool = True
     normalize_before: bool = True
     concat_after: bool = False
+    dtype: object = None
 
     def setup(self):
         d = self.encoder_output_size
@@ -101,11 +105,11 @@ class TransformerDecoder(nn.Module):
         self.decoders = [DecoderLayer(
             d, self.attention_heads, self.linear_units, self.dropout_rate,
             self.self_attention_dropout_rate, self.src_attention_dropout_rate,
-            self.normalize_before, self.concat_after,
+            self.normalize_before, self.concat_after, dtype=self.dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
         self.after_norm = nn.LayerNorm(epsilon=1e-5)
         if self.use_output_layer:
-            self.output_layer = nn.Dense(self.vocab_size)
+            self.output_layer = nn.Dense(self.vocab_size, dtype=self.dtype)
 
     def __call__(self, memory, memory_pad_mask, ys_in_pad, ys_in_lens, *,
                  deterministic=True):
@@ -179,9 +183,11 @@ class BiTransformerDecoder(nn.Module):
     use_output_layer: bool = True
     normalize_before: bool = True
     concat_after: bool = False
+    dtype: object = None
 
     def setup(self):
         kw = dict(
+            dtype=self.dtype,
             vocab_size=self.vocab_size,
             encoder_output_size=self.encoder_output_size,
             attention_heads=self.attention_heads,

@@ -55,15 +55,22 @@ class BaseEncoder(nn.Module):
     use_dynamic_left_chunk: bool = False
     # CMVN stats as hashable tuples (or None): (mean, istd), each len F.
     cmvn: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
+    # Compute dtype ("bfloat16" string or jnp dtype); params stay fp32.
+    dtype: Optional[str] = None
 
     def _make_layers(self):
         raise NotImplementedError
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype) if self.dtype is not None else None
 
     def setup(self):
         pos_enc = POS_ENC_CLASSES[self.pos_enc_layer_type](
             self.output_size, self.positional_dropout_rate)
         self.embed = SUBSAMPLE_CLASSES[self.input_layer](
-            self.output_size, self.dropout_rate, pos_enc)
+            self.output_size, self.dropout_rate, pos_enc,
+            dtype=self.compute_dtype)
         self.layers = self._make_layers()
         self.after_norm = nn.LayerNorm(epsilon=1e-5)
         if self.cmvn is not None:
@@ -195,6 +202,7 @@ class TransformerEncoder(BaseEncoder):
             self.output_size, self.attention_heads, self.linear_units,
             self.dropout_rate, self.attention_dropout_rate,
             self.normalize_before, self.concat_after,
+            dtype=self.compute_dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
 
 
@@ -221,6 +229,7 @@ class ConformerEncoder(BaseEncoder):
             causal=self.causal,
             pos_enc_layer_type=self.pos_enc_layer_type,
             activation=self.activation_type,
+            dtype=self.compute_dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
 
     def _conv_lorder(self) -> int:

@@ -26,15 +26,16 @@ class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float
     activation: str = "relu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, *, deterministic=True):
         d = x.shape[-1]
         act = {"relu": nn.relu, "swish": nn.silu, "gelu": nn.gelu}[
             self.activation]
-        h = act(nn.Dense(self.hidden_units)(x))
+        h = act(nn.Dense(self.hidden_units, dtype=self.dtype)(x))
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
-        return nn.Dense(d)(h)
+        return nn.Dense(d, dtype=self.dtype)(h)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -45,12 +46,14 @@ class TransformerEncoderLayer(nn.Module):
     attention_dropout_rate: float = 0.0
     normalize_before: bool = True
     concat_after: bool = False
+    dtype: object = None
 
     def setup(self):
         self.self_attn = MultiHeadedAttention(
-            self.attention_heads, self.size, self.attention_dropout_rate)
+            self.attention_heads, self.size, self.attention_dropout_rate,
+            dtype=self.dtype)
         self.feed_forward = PositionwiseFeedForward(
-            self.linear_units, self.dropout_rate)
+            self.linear_units, self.dropout_rate, dtype=self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.dropout = nn.Dropout(self.dropout_rate)
@@ -109,23 +112,27 @@ class ConformerEncoderLayer(nn.Module):
     causal: bool = False
     pos_enc_layer_type: str = "rel_pos"
     activation: str = "swish"
+    dtype: object = None
 
     def setup(self):
         attn_cls = (RelPositionMultiHeadedAttention
                     if self.pos_enc_layer_type == "rel_pos"
                     else MultiHeadedAttention)
         self.self_attn = attn_cls(
-            self.attention_heads, self.size, self.attention_dropout_rate)
+            self.attention_heads, self.size, self.attention_dropout_rate,
+            dtype=self.dtype)
         self.feed_forward = PositionwiseFeedForward(
-            self.linear_units, self.dropout_rate, self.activation)
+            self.linear_units, self.dropout_rate, self.activation,
+            dtype=self.dtype)
         if self.macaron_style:
             self.feed_forward_macaron = PositionwiseFeedForward(
-                self.linear_units, self.dropout_rate, self.activation)
+                self.linear_units, self.dropout_rate, self.activation,
+                dtype=self.dtype)
             self.norm_ff_macaron = nn.LayerNorm(epsilon=1e-5)
         if self.use_cnn_module:
             self.conv_module = ConvolutionModule(
                 self.size, self.cnn_module_kernel, self.cnn_module_norm,
-                self.causal)
+                self.causal, dtype=self.dtype)
             self.norm_conv = nn.LayerNorm(epsilon=1e-5)
             self.norm_final = nn.LayerNorm(epsilon=1e-5)
         self.norm_ff = nn.LayerNorm(epsilon=1e-5)

@@ -29,6 +29,8 @@ def build_encoder(input_dim: int, configs: Dict[str, Any],
                   cmvn: Optional[Tuple] = None):
     enc_type = configs.get("encoder", "conformer")
     conf = dict(configs.get("encoder_conf", {}))
+    if configs.get("dtype") and "dtype" not in conf:
+        conf["dtype"] = configs["dtype"]
     cls = ENCODER_CLASSES[enc_type]
     if enc_type == "transformer":
         # Conformer-only knobs may appear in shared configs; drop them.
@@ -61,6 +63,9 @@ def init_model(configs: Dict[str, Any]):
     dec_type = configs.get("decoder", "bitransformer")
     if dec_type == "transformer":
         dec_conf.setdefault("r_num_blocks", 0)
+    if configs.get("dtype") and "dtype" not in dec_conf:
+        import jax.numpy as jnp
+        dec_conf["dtype"] = jnp.dtype(configs["dtype"])
     decoder = BiTransformerDecoder(
         vocab_size=vocab_size,
         encoder_output_size=configs.get("encoder_conf", {}).get(
@@ -106,6 +111,9 @@ def _build_transducer(configs, vocab_size, encoder, decoder, ctc):
         voca_size=vocab_size, **pred_conf)
 
     joint_conf = dict(configs.get("joint_conf", {}))
+    if configs.get("dtype") and "dtype" not in joint_conf:
+        import jax.numpy as jnp
+        joint_conf["dtype"] = jnp.dtype(configs["dtype"])
     joint = TransducerJoint(
         voca_size=vocab_size, enc_output_size=enc_out,
         pred_output_size=pred_out_size, **joint_conf)

@@ -25,6 +25,7 @@ class TransducerJoint(nn.Module):
     postjoin_linear: bool = False
     joint_mode: str = "add"
     activation: str = "tanh"
+    dtype: object = None
 
     def setup(self):
         assert self.joint_mode == "add"
@@ -32,11 +33,11 @@ class TransducerJoint(nn.Module):
             assert self.enc_output_size == self.pred_output_size == \
                 self.join_dim
         if self.prejoin_linear:
-            self.enc_ffn = nn.Dense(self.join_dim)
-            self.pred_ffn = nn.Dense(self.join_dim)
+            self.enc_ffn = nn.Dense(self.join_dim, dtype=self.dtype)
+            self.pred_ffn = nn.Dense(self.join_dim, dtype=self.dtype)
         if self.postjoin_linear:
-            self.post_ffn = nn.Dense(self.join_dim)
-        self.ffn_out = nn.Dense(self.voca_size)
+            self.post_ffn = nn.Dense(self.join_dim, dtype=self.dtype)
+        self.ffn_out = nn.Dense(self.voca_size, dtype=self.dtype)
 
     def _combine(self, enc, pred):
         act = get_activation(self.activation)

@@ -24,9 +24,10 @@ class LinearNoSubsampling(nn.Module):
     pos_enc: Any
     subsampling_rate: int = 1
     right_context: int = 0
+    dtype: Any = None
 
     def setup(self):
-        self.out = nn.Dense(self.odim)
+        self.out = nn.Dense(self.odim, dtype=self.dtype)
         self.norm = nn.LayerNorm(epsilon=1e-5)
         self.dropout = nn.Dropout(self.dropout_rate)
 
@@ -47,13 +48,14 @@ class Conv2dSubsampling4(nn.Module):
     pos_enc: Any
     subsampling_rate: int = 4
     right_context: int = 6
+    dtype: Any = None
 
     def setup(self):
         self.conv1 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID")
+                             padding="VALID", dtype=self.dtype)
         self.conv2 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID")
-        self.out = nn.Dense(self.odim)
+                             padding="VALID", dtype=self.dtype)
+        self.out = nn.Dense(self.odim, dtype=self.dtype)
 
     def __call__(self, x, lengths, offset=0, *, deterministic=True):
         # x: [B, T, F] → NHWC [B, T, F, 1]
@@ -74,13 +76,14 @@ class Conv2dSubsampling6(nn.Module):
     pos_enc: Any
     subsampling_rate: int = 6
     right_context: int = 10
+    dtype: Any = None
 
     def setup(self):
         self.conv1 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID")
+                             padding="VALID", dtype=self.dtype)
         self.conv2 = nn.Conv(self.odim, (5, 5), strides=(3, 3),
-                             padding="VALID")
-        self.out = nn.Dense(self.odim)
+                             padding="VALID", dtype=self.dtype)
+        self.out = nn.Dense(self.odim, dtype=self.dtype)
 
     def __call__(self, x, lengths, offset=0, *, deterministic=True):
         h = x[..., None]
@@ -101,15 +104,16 @@ class Conv2dSubsampling8(nn.Module):
     pos_enc: Any
     subsampling_rate: int = 8
     right_context: int = 14
+    dtype: Any = None
 
     def setup(self):
         self.conv1 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID")
+                             padding="VALID", dtype=self.dtype)
         self.conv2 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID")
+                             padding="VALID", dtype=self.dtype)
         self.conv3 = nn.Conv(self.odim, (3, 3), strides=(2, 2),
-                             padding="VALID")
-        self.out = nn.Dense(self.odim)
+                             padding="VALID", dtype=self.dtype)
+        self.out = nn.Dense(self.odim, dtype=self.dtype)
 
     def __call__(self, x, lengths, offset=0, *, deterministic=True):
         h = x[..., None]
