@@ -49,12 +49,10 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), *args)
     tx, _ = T.make_optimizer(cfg)
     state = T.create_train_state(model, variables, tx)
-    grad_fn = T.make_grad_fn(model, accum_grad=1)
-    apply_fn = T.make_apply_fn(tx)
+    train_step = T.make_train_step(model, tx)
 
     def step(state, key):
-        grads, metrics, _ = grad_fn(state, batch, key)
-        state, _ = apply_fn(state, grads)
+        state, metrics, _ = train_step(state, batch, key)
         return state, metrics
 
     # Warmup/compile.

@@ -1,0 +1,113 @@
+#!/usr/bin/env bash
+# LibriSpeech recipe (reference examples/librispeech/s0/run.sh parity):
+# stages 0..6 — data prep → cmvn → dict → data.list → train → average +
+# decode → export. Single SPMD process (the mesh spans all local devices;
+# multi-host adds --distributed), replacing the reference's
+# one-process-per-GPU loop (run.sh:122-160).
+set -eo pipefail
+
+stage=0
+stop_stage=6
+
+data=${LIBRISPEECH_DATA:-/data/librispeech}   # extracted LibriSpeech tree
+dir=exp/conformer_rnnt_bias
+config=conf/conformer_rnnt_bias.yaml
+train_sets="train-clean-100 train-clean-360 train-other-500"
+dev_set=dev-clean
+test_sets="test-clean test-other"
+bpe_model=data/lang_char/train_960_unigram5000.model
+dict=data/lang_char/train_960_unigram5000_units.txt
+decode_modes="ctc_greedy_search ctc_prefix_beam_search attention_rescoring rnnt_greedy_search"
+average_num=30
+
+. tools/parse_options.sh 2>/dev/null || true
+
+if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
+  echo "stage 0: prepare wav.scp/text from the LibriSpeech tree"
+  for part in ${train_sets} ${dev_set} ${test_sets}; do
+    pdir=data/${part}
+    mkdir -p ${pdir}
+    find ${data}/${part} -name '*.flac' -o -name '*.wav' | sort | \
+      awk -F/ '{key=$NF; sub(/\.(flac|wav)$/, "", key); print key, $0}' \
+      > ${pdir}/wav.scp
+    find ${data}/${part} -name '*.trans.txt' | sort | xargs cat | \
+      sort > ${pdir}/text
+  done
+fi
+
+if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
+  echo "stage 1: global CMVN stats"
+  mkdir -p data/train_960
+  cat data/train-*/wav.scp > data/train_960/wav.scp
+  cat data/train-*/text > data/train_960/text
+  python -m wenet_celoss_tpu.bin.compute_cmvn_stats \
+    --train_config ${config} --in_scp data/train_960/wav.scp \
+    --out_cmvn data/train_960/global_cmvn
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+  echo "stage 2: data.list (raw jsonl; use tools/make_shard_list.py for UIO shards)"
+  for part in train_960 ${dev_set} ${test_sets}; do
+    python tools/make_raw_list.py data/${part}/wav.scp data/${part}/text \
+      data/${part}/data.list
+  done
+fi
+
+if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
+  echo "stage 3: train"
+  mkdir -p ${dir}
+  python -m wenet_celoss_tpu.bin.train \
+    --config ${config} \
+    --data_type raw \
+    --train_data data/train_960/data.list \
+    --cv_data data/${dev_set}/data.list \
+    --symbol_table ${dict} \
+    --bpe_model ${bpe_model} \
+    --cmvn data/train_960/global_cmvn \
+    --model_dir ${dir}
+fi
+
+if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
+  echo "stage 4: average + decode"
+  python -m wenet_celoss_tpu.bin.average_model \
+    --dst_model ${dir}/avg_${average_num}.ckpt \
+    --src_path ${dir} --num ${average_num} --val_best
+  for test_set in ${test_sets}; do
+    for mode in ${decode_modes}; do
+      out=${dir}/${mode}_${test_set}
+      python -m wenet_celoss_tpu.bin.recognize \
+        --config ${dir}/train.yaml \
+        --data_type raw \
+        --test_data data/${test_set}/data.list \
+        --checkpoint ${dir}/avg_${average_num}.ckpt \
+        --symbol_table ${dict} \
+        --bpe_model ${bpe_model} \
+        --mode ${mode} \
+        --result_file ${out}/text
+      python tools/compute_wer.py data/${test_set}/text ${out}/text \
+        > ${out}/wer
+    done
+  done
+fi
+
+if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
+  echo "stage 5: export serving artifacts (StableHLO + worker bundle)"
+  python -m wenet_celoss_tpu.bin.export \
+    --config ${dir}/train.yaml \
+    --checkpoint ${dir}/avg_${average_num}.ckpt \
+    --output_dir ${dir}/export
+  cp ${dict} ${dir}/export/units.txt
+  echo "python -m wenet_celoss_tpu.bin.runtime_worker --config ${dir}/train.yaml --checkpoint ${dir}/avg_${average_num}.ckpt" \
+    > ${dir}/export/worker_cmd.txt
+fi
+
+if [ ${stage} -le 6 ] && [ ${stop_stage} -ge 6 ]; then
+  echo "stage 6: C++ runtime decode (RTF)"
+  cmake -S runtime/core -B runtime/build -G Ninja >/dev/null
+  ninja -C runtime/build >/dev/null
+  ./runtime/build/decoder_main \
+    --wav_scp data/test-clean/wav.scp \
+    --symbol_table ${dir}/export/units.txt \
+    --worker_cmd "$(cat ${dir}/export/worker_cmd.txt)" \
+    --result ${dir}/runtime_test_clean.text
+fi

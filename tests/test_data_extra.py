@@ -1,0 +1,113 @@
+"""Tests for wav distortion, kaldi IO, and the context filter."""
+
+import io
+import random
+
+import numpy as np
+import pytest
+
+from wenet_celoss_tpu.data import kaldi_io, wav_distortion
+from wenet_celoss_tpu.decode.context_filter import (
+    ContextFilter, posterior_phrase_scores)
+
+
+class TestWavDistortion:
+    def test_max_distortion(self):
+        x = np.array([0.5, -0.5, 0.0], np.float32)
+        y = wav_distortion.distort_max(x)
+        np.testing.assert_allclose(y, [0.997, -0.997, 0.0])
+
+    def test_quad_preserves_sign_and_range(self):
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+        y = wav_distortion.distort_quad(x)
+        assert np.all(np.abs(y) <= 1.0)
+        nz = np.abs(x) > 1e-6
+        assert np.all(np.sign(y[nz]) == np.sign(x[nz]))
+
+    def test_jag_and_fence(self):
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(500) * 0.5).astype(np.float32)
+        rnd = random.Random(0)
+        y = wav_distortion.distort_jag(x, rng=rnd)
+        kept = y != 0
+        np.testing.assert_allclose(y[kept], x[kept])
+        z = wav_distortion.distort_fence(x, max_db=-6.0, rng=rnd)
+        max_amp = float(wav_distortion.db2amp(-6.0))
+        for v in np.unique(np.abs(z)):
+            assert abs(v) < 1e-6 or abs(v - max_amp) < 1e-4
+
+    def test_registry(self):
+        x = np.zeros(10, np.float32)
+        for name in wav_distortion.DISTORTIONS:
+            out = wav_distortion.distort_wav(x, name)
+            assert out.shape == x.shape
+
+
+class TestKaldiIO:
+    def test_mat_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        m1 = rng.standard_normal((5, 13)).astype(np.float32)
+        m2 = rng.standard_normal((3, 13)).astype(np.float32)
+        ark = tmp_path / "feats.ark"
+        scp_lines = []
+        with open(ark, "wb") as f:
+            off1 = kaldi_io.write_mat(f, m1, key="u1")
+            scp_lines.append(f"u1 {ark}:{off1}")
+            off2 = kaldi_io.write_mat(f, m2, key="u2")
+            scp_lines.append(f"u2 {ark}:{off2}")
+        # ark iteration
+        items = dict(kaldi_io.read_ark(str(ark)))
+        np.testing.assert_allclose(items["u1"], m1)
+        np.testing.assert_allclose(items["u2"], m2)
+        # scp indexed access
+        scp = tmp_path / "feats.scp"
+        scp.write_text("\n".join(scp_lines))
+        items2 = dict(kaldi_io.read_scp(str(scp)))
+        np.testing.assert_allclose(items2["u2"], m2)
+
+    def test_vec_roundtrip(self, tmp_path):
+        v = np.arange(7, dtype=np.float32)
+        p = tmp_path / "v.ark"
+        with open(p, "wb") as f:
+            kaldi_io.write_vec_flt(f, v)
+        with open(p, "rb") as f:
+            got = kaldi_io.read_vec_flt(f)
+        np.testing.assert_allclose(got, v)
+
+    def test_text_matrix(self, tmp_path):
+        p = tmp_path / "t.mat"
+        p.write_text(" [\n  1 2 3\n  4 5 6 ]\n")
+        m = kaldi_io.read_mat(str(p))
+        np.testing.assert_allclose(m, [[1, 2, 3], [4, 5, 6]])
+
+
+class TestContextFilter:
+    def _posterior(self, seq, v=6, t_per=3, boost=5.0):
+        """Posterior that strongly supports `seq` in order."""
+        t = len(seq) * t_per
+        post = np.full((t, v), -10.0, np.float32)
+        for i, tok in enumerate(seq):
+            post[i * t_per:(i + 1) * t_per, tok] = boost
+        return post
+
+    def test_posterior_filter_ranks_present_phrase(self):
+        ctx = np.array([[0, 0], [2, 3], [4, 5]], np.int32)
+        lens = np.array([1, 2, 2], np.int32)
+        post = self._posterior([2, 3])
+        scores = posterior_phrase_scores(post, ctx, lens)
+        assert scores[1] > scores[2]
+
+    def test_second_filter_shortlist(self):
+        ctx = np.array([[0, 0], [2, 3], [4, 5], [3, 2]], np.int32)
+        lens = np.array([1, 2, 2, 2], np.int32)
+        f = ContextFilter(ctx, lens, window_size=8, topk_first=3,
+                          topk_second=0.0)
+        post = self._posterior([2, 3], t_per=4)
+        f.posterior_filter(post)
+        res, res_lens = f.second_filter(post)
+        # Sentinel first, then the matching phrase [2, 3].
+        assert res_lens[0] == 1
+        assert [int(x) for x in res[1]] == [2, 3]
+        # Absent phrase [4,5] filtered out by threshold.
+        assert all([int(x) for x in r] != [4, 5] for r in res[1:])

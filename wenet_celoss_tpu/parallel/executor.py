@@ -27,6 +27,9 @@ class Executor:
         self.log_interval = log_interval
         self.grad_fn = T.make_grad_fn(model, accum_grad)
         self.apply_fn = T.make_apply_fn(tx)
+        # One fused dispatch per step when not accumulating.
+        self.train_step = (T.make_train_step(model, tx)
+                           if accum_grad == 1 else None)
         self.eval_fn = T.make_eval_fn(model)
         self.schedule = schedule
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -45,16 +48,20 @@ class Executor:
         for batch_idx, batch in enumerate(data):
             placed = self._place(batch)
             self.rng, rng = jax.random.split(self.rng)
-            grads, metrics, new_bs = self.grad_fn(state, placed, rng)
-            if new_bs is not None:
-                state = state.replace(batch_stats=new_bs)
-            acc = T.accumulate(acc, grads)
-            n_acc += 1
             frames += int(np.sum(batch["feat_lengths"]))
-            if n_acc >= self.accum_grad:
-                state, gnorm = self.apply_fn(state, acc)
-                acc, n_acc = None, 0
+            if self.train_step is not None:
+                state, metrics, gnorm = self.train_step(state, placed, rng)
                 self.step = int(state.step)
+            else:
+                grads, metrics, new_bs = self.grad_fn(state, placed, rng)
+                if new_bs is not None:
+                    state = state.replace(batch_stats=new_bs)
+                acc = T.accumulate(acc, grads)
+                n_acc += 1
+                if n_acc >= self.accum_grad:
+                    state, gnorm = self.apply_fn(state, acc)
+                    acc, n_acc = None, 0
+                    self.step = int(state.step)
             if batch_idx % self.log_interval == 0:
                 lr = float(self.schedule(max(self.step, 1)))
                 elapsed = time.time() - t0

@@ -123,6 +123,33 @@ def make_apply_fn(tx):
     return apply_fn
 
 
+def make_train_step(model, tx, accum_grad: int = 1):
+    """Fused (grad + clip + apply) step in ONE jitted program with donated
+    state buffers — one device dispatch per step (the split grad/apply pair
+    is for gradient accumulation)."""
+    grad_core = make_grad_fn(model, accum_grad)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        grads, metrics, new_bs = grad_core(state, batch, rng)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        safe = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = tx.update(safe, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
+        new_opt = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt,
+                          batch_stats=new_bs if new_bs is not None
+                          else state.batch_stats), metrics, gnorm
+
+    return train_step
+
+
 def make_eval_fn(model):
     @jax.jit
     def eval_fn(state: TrainState, batch):
