@@ -26,6 +26,9 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE")
     if dtype:
         cfg["dtype"] = dtype
+    rnnt_impl = os.environ.get("BENCH_RNNT")
+    if rnnt_impl:
+        cfg["model_conf"]["rnnt_impl"] = rnnt_impl
     model = init_model(cfg)
 
     b = int(os.environ.get("BENCH_BATCH", "8"))

@@ -32,6 +32,7 @@ struct Flags {
   int num_bins = 80;
   double rescoring_weight = 1.0;
   bool continuous = false;
+  std::string mode = "ctc_prefix_beam_search";
 };
 
 static Flags ParseFlags(int argc, char** argv) {
@@ -46,6 +47,7 @@ static Flags ParseFlags(int argc, char** argv) {
     else if (a == "--result") f.result = next();
     else if (a == "--chunk_size") f.chunk_size = std::atoi(next().c_str());
     else if (a == "--num_bins") f.num_bins = std::atoi(next().c_str());
+    else if (a == "--mode") f.mode = next();
     else {
       std::fprintf(stderr, "unknown flag %s\n", a.c_str());
       std::exit(1);
@@ -82,6 +84,8 @@ int main(int argc, char** argv) {
 
   DecodeOptions opts;
   opts.chunk_size = flags.chunk_size;
+  if (flags.mode == "rnnt_greedy_search")
+    opts.search_type = SearchType::kRnntGreedySearch;
 
   std::vector<std::pair<std::string, std::string>> waves;
   if (!flags.wav_path.empty()) waves.emplace_back("utt", flags.wav_path);

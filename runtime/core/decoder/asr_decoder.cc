@@ -14,8 +14,12 @@ AsrDecoder::AsrDecoder(std::shared_ptr<FeaturePipeline> feature_pipeline,
       ctc_endpointer_(opts.ctc_endpoint_config) {
   model_->set_chunk_size(opts_.chunk_size);
   model_->set_num_left_chunks(opts_.num_left_chunks);
-  searcher_.reset(new CtcPrefixBeamSearch(opts_.ctc_search_opts,
-                                          resource_->context_graph));
+  if (opts_.search_type == SearchType::kRnntGreedySearch) {
+    searcher_.reset(new RnntGreedySearch());
+  } else {
+    searcher_.reset(new CtcPrefixBeamSearch(opts_.ctc_search_opts,
+                                            resource_->context_graph));
+  }
   ctc_endpointer_.frame_shift_in_ms(frame_shift_in_ms());
 }
 
@@ -60,7 +64,13 @@ DecodeState AsrDecoder::AdvanceDecoding() {
       ctc_log_probs.insert(ctc_log_probs.end(), tail_probs.begin(),
                            tail_probs.end());
     }
-    searcher_->Search(ctc_log_probs);
+    if (opts_.search_type == SearchType::kRnntGreedySearch) {
+      std::vector<int> new_tokens;
+      model_->RnntGreedyChunk(&new_tokens);
+      searcher_->Search(new_tokens);
+    } else {
+      searcher_->Search(ctc_log_probs);
+    }
     UpdateResult(false);
     if (state != DecodeState::kEndFeats && !ctc_log_probs.empty() &&
         ctc_endpointer_.IsEndpoint(ctc_log_probs, DecodedSomething())) {
@@ -103,7 +113,9 @@ void AsrDecoder::UpdateResult(bool finish) {
 void AsrDecoder::Rescoring() {
   searcher_->FinalizeSearch();
   UpdateResult(true);
-  if (opts_.rescoring_weight <= 0.0f) return;
+  if (opts_.rescoring_weight <= 0.0f ||
+      opts_.search_type == SearchType::kRnntGreedySearch)
+    return;
   const auto& hypotheses = searcher_->Inputs();
   if (hypotheses.empty()) return;
   std::vector<float> rescoring_score;

@@ -14,6 +14,7 @@
 #include "decoder/asr_model.h"
 #include "decoder/ctc_endpoint.h"
 #include "decoder/ctc_prefix_beam_search.h"
+#include "decoder/rnnt_greedy_search.h"
 #include "decoder/context_graph.h"
 #include "frontend/feature_pipeline.h"
 #include "post_processor/post_processor.h"
@@ -27,6 +28,8 @@ struct DecodeOptions {
   float ctc_weight = 0.5f;
   float rescoring_weight = 1.0f;
   float reverse_weight = 0.0f;
+  // "ctc_prefix_beam_search" | "rnnt_greedy_search"
+  SearchType search_type = SearchType::kPrefixBeamSearch;
   CtcEndpointConfig ctc_endpoint_config;
   CtcPrefixBeamSearchOptions ctc_search_opts;
 };
@@ -94,7 +97,7 @@ class AsrDecoder {
   std::shared_ptr<PostProcessor> post_processor_;
   DecodeOptions opts_;
   CtcEndpoint ctc_endpointer_;
-  std::unique_ptr<CtcPrefixBeamSearch> searcher_;
+  std::unique_ptr<SearchInterface> searcher_;
   std::vector<DecodeResult> result_;
   int num_frames_ = 0;
   int global_frame_offset_ = 0;

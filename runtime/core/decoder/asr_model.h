@@ -50,6 +50,12 @@ class AsrModel {
                                   float reverse_weight,
                                   std::vector<float>* rescoring_score) = 0;
 
+  // Transducer streaming greedy over newly produced encoder frames
+  // (fork capability, runtime rnnt_greedy_search.cc). Default: no tokens.
+  virtual void RnntGreedyChunk(std::vector<int>* new_tokens) {
+    new_tokens->clear();
+  }
+
  protected:
   int subsampling_rate_ = 4;
   int right_context_ = 6;

@@ -7,6 +7,7 @@
 // serving. Framed little-endian protocol over stdin/stdout pipes:
 //   C++→py:  'I' cfg_len cfg_json              (init / reset stream)
 //            'F' T D float32[T*D]              (forward feature chunk)
+//            'G'                               (transducer greedy chunk)
 //            'R' N rw { L int32[L] } * N       (attention rescoring)
 //            'Q'                               (quit)
 //   py→C++:  'O' T' V float32[T'*V]            (ctc log probs)
@@ -73,6 +74,14 @@ class SubprocessAsrModel : public AsrModel {
     ctc_log_probs->assign(t2, std::vector<float>(v));
     for (auto& row : *ctc_log_probs)
       ReadAll(row.data(), v * sizeof(float));
+  }
+
+  void RnntGreedyChunk(std::vector<int>* new_tokens) override {
+    WriteTag('G');
+    if (ReadTag() != 'T') throw std::runtime_error("worker: bad G reply");
+    uint32_t n = ReadU32();
+    new_tokens->resize(n);
+    if (n) ReadAll(new_tokens->data(), n * sizeof(int32_t));
   }
 
   void AttentionRescoring(const std::vector<std::vector<int>>& hyps,

@@ -196,3 +196,46 @@ class TestRnntLossFused:
             x, labels, ilens, llens)))(logits)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-3, atol=1e-5)
+
+
+class TestRnntLossPallas:
+    """Pallas lattice kernel vs the scan implementation (interpret mode on
+    CPU; the same kernel is validated on TPU hardware by bench runs)."""
+
+    def test_loss_and_grad_match_scan(self):
+        from wenet_celoss_tpu.ops.rnnt_pallas import rnnt_loss_pallas
+        rng = np.random.default_rng(21)
+        b, t, u, v = 3, 7, 4, 6
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v)),
+                             dtype=jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), dtype=jnp.int32)
+        ilens = jnp.array([7, 5, 4])
+        llens = jnp.array([4, 3, 0])
+        ref = rnnt_loss(logits, labels, ilens, llens)
+        got = rnnt_loss_pallas(logits, labels, ilens, llens, 0, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4)
+        g1 = jax.grad(lambda x: jnp.sum(
+            rnnt_loss(x, labels, ilens, llens)))(logits)
+        g2 = jax.grad(lambda x: jnp.sum(
+            rnnt_loss_pallas(x, labels, ilens, llens, 0, True)))(logits)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_alpha_beta_consistency(self):
+        """beta[0,0] must equal the terminal alpha likelihood."""
+        from wenet_celoss_tpu.ops.rnnt_loss import _gather_planes
+        from wenet_celoss_tpu.ops.rnnt_pallas import alpha_beta_pallas
+        rng = np.random.default_rng(22)
+        b, t, u, v = 2, 6, 3, 5
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v)),
+                             dtype=jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), dtype=jnp.int32)
+        ilens, llens = jnp.array([6, 5]), jnp.array([3, 2])
+        blank_lp, emit_lp = _gather_planes(logits, labels, 0)
+        alpha, beta = alpha_beta_pallas(blank_lp, emit_lp, ilens, llens,
+                                        True)
+        for i in range(b):
+            term = float(alpha[i, ilens[i] - 1, llens[i]]
+                         + blank_lp[i, ilens[i] - 1, llens[i]])
+            assert term == pytest.approx(float(beta[i, 0, 0]), rel=1e-4)

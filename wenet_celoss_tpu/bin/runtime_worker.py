@@ -70,6 +70,24 @@ class Worker:
         self._fwd = jax.jit(lambda xs, cache: self.model.apply(
             self.variables, xs, cache,
             method="encoder_forward_chunk_ctc"))
+        self.is_transducer = hasattr(self.model, "predictor") and \
+            self.model.predictor is not None
+        if self.is_transducer:
+            from wenet_celoss_tpu.decode.rnnt_greedy import (
+                rnnt_greedy_chunk)
+
+            def predictor_step(tok, state, padding=None):
+                return self.model.apply(self.variables, tok, state, padding,
+                                        method="predictor_step")
+
+            def joint_step(enc_t, pred_u):
+                return self.model.apply(self.variables, enc_t, pred_u,
+                                        method="joint_step")
+
+            self._greedy_chunk = jax.jit(
+                lambda enc, carry: rnnt_greedy_chunk(
+                    predictor_step, joint_step, carry, enc,
+                    blank=self.model.blank, n_steps=4))
         self.reset()
 
     def reset(self):
@@ -80,6 +98,8 @@ class Worker:
         self.feat_buffer = np.zeros((0, self.configs["input_dim"]),
                                     np.float32)
         self.encoder_outs = []
+        self.greedy_carry = None
+        self.greedy_consumed = 0
 
     def meta(self) -> dict:
         return {
@@ -117,6 +137,34 @@ class Worker:
             return np.concatenate(outs, axis=0)
         dim_v = self.configs["output_dim"]
         return np.zeros((0, dim_v), np.float32)
+
+    def greedy_new_tokens(self) -> list:
+        """Incrementally transducer-greedy-decode encoder frames produced
+        since the last call (serving analog of the reference's streaming
+        RnntGreedySearch, `runtime/core/decoder/rnnt_greedy_search.cc`)."""
+        if not self.is_transducer or not self.encoder_outs:
+            return []
+        full = np.concatenate(self.encoder_outs, axis=0)
+        new = full[self.greedy_consumed:]
+        if new.shape[0] == 0:
+            return []
+        if self.greedy_carry is None:
+            import jax.numpy as jnp
+            b = 1
+            state = self.model.apply(self.variables, b,
+                                     method="predictor_init_state")
+            pred0, state = self.model.apply(
+                self.variables, jnp.full((b,), self.model.blank, jnp.int32),
+                state, jnp.zeros((b,), jnp.int32), method="predictor_step")
+            self.greedy_carry = (pred0, state)
+        toks = []
+        # One compiled program per chunk length; serving uses a fixed
+        # chunk so this stays at one or two compilations.
+        tokens, lens, self.greedy_carry = self._greedy_chunk(
+            self.jnp.asarray(new[None]), self.greedy_carry)
+        toks = [int(x) for x in np.asarray(tokens[0][: int(lens[0])])]
+        self.greedy_consumed = full.shape[0]
+        return toks
 
     def rescore(self, hyps, reverse_weight: float) -> np.ndarray:
         from wenet_celoss_tpu.decode.rescoring import \
@@ -180,6 +228,11 @@ def main():
             fout.write(b"O" + struct.pack("<II", out.shape[0],
                                           out.shape[1]))
             fout.write(out.astype("<f4").tobytes())
+            fout.flush()
+        elif tag == b"G":
+            toks = worker.greedy_new_tokens()
+            fout.write(b"T" + struct.pack("<I", len(toks)))
+            fout.write(np.asarray(toks, "<i4").tobytes())
             fout.flush()
         elif tag == b"R":
             (n,) = struct.unpack("<I", read_exact(fin, 4))

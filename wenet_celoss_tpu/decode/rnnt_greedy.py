@@ -85,6 +85,48 @@ def rnnt_greedy_search(predictor_step: Callable, joint_step: Callable,
     return buf, cnt
 
 
+def rnnt_greedy_chunk(predictor_step: Callable, joint_step: Callable,
+                      carry, encoder_chunk, blank: int = 0,
+                      n_steps: int = 4):
+    """Greedy-decode one encoder chunk, resuming from ``carry`` =
+    (pred_out [B, P], predictor state). Returns (tokens [B, Tc*n_steps],
+    lens [B], new_carry) — the streaming building block for serving."""
+    pred_out, state = carry
+    b, t_c, _ = encoder_chunk.shape
+    u_cap = t_c * n_steps
+    buf0 = jnp.zeros((b, u_cap), jnp.int32)
+    cnt0 = jnp.zeros((b,), jnp.int32)
+
+    def frame(fc, enc_t):
+        pred_out, state, buf, cnt = fc
+
+        def emit(sub_carry, _):
+            pred_out, state, buf, cnt, alive = sub_carry
+            logits = joint_step(enc_t, pred_out)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            do = alive & (tok != blank) & (cnt < u_cap)
+            buf = jnp.where(
+                jax.nn.one_hot(jnp.minimum(cnt, u_cap - 1), u_cap,
+                               dtype=bool) & do[:, None],
+                tok[:, None], buf)
+            cnt = cnt + do.astype(jnp.int32)
+            new_pred, new_state = predictor_step(
+                tok, state, (~do).astype(jnp.int32))
+            keep = do[:, None].astype(pred_out.dtype)
+            pred_out = new_pred * keep + pred_out * (1 - keep)
+            return (pred_out, new_state, buf, cnt, do), None
+
+        (pred_out, state, buf, cnt, _), _ = jax.lax.scan(
+            emit, (pred_out, state, buf, cnt, jnp.ones((b,), bool)), None,
+            length=n_steps)
+        return (pred_out, state, buf, cnt), None
+
+    (pred_out, state, buf, cnt), _ = jax.lax.scan(
+        frame, (pred_out, state, buf0, cnt0),
+        jnp.moveaxis(encoder_chunk, 1, 0))
+    return buf, cnt, (pred_out, state)
+
+
 def rnnt_gated_greedy_search(predictor_step: Callable,
                              predictor_bias_step: Callable,
                              joint_step: Callable,

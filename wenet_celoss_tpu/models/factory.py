@@ -149,4 +149,5 @@ def _build_transducer(configs, vocab_size, encoder, decoder, ctc):
                                               False),
         hw_weight=model_conf.get("hw_weight", 0.4),
         loss_mode=model_conf.get("loss_mode", "both"),
-        fused_rnnt_loss=model_conf.get("fused_rnnt_loss", False))
+        fused_rnnt_loss=model_conf.get("fused_rnnt_loss", False),
+        rnnt_impl=model_conf.get("rnnt_impl", "scan"))

@@ -48,9 +48,11 @@ class Transducer(ASRModel):
     attention_weight: float = 0.0
     hw_weight: float = 0.0
     loss_mode: str = "both"   # pred | both | sep
-    # Closed-form-VJP loss: ~halves peak HBM for the [B,T,U,V] joint at the
-    # cost of a softmax recompute in backward. Worth it for large vocab /
-    # long batches; measured slower at small-vocab bench sizes.
+    # RNN-T loss implementation: "scan" (XLA wavefront + autodiff),
+    # "fused" (closed-form-VJP: ~halves peak HBM, softmax recompute in
+    # backward), "pallas" (single-kernel lattice + closed-form VJP).
+    rnnt_impl: str = "scan"
+    # Back-compat alias for rnnt_impl="fused".
     fused_rnnt_loss: bool = False
 
     def __call__(self, speech, speech_lengths, text, text_lengths,
@@ -85,7 +87,12 @@ class Transducer(ASRModel):
 
         joint_out = self.joint(encoder_out, predictor_out)   # [B, T, U+1, V]
         rnnt_text = jnp.where(text == self.ignore_id, 0, text)
-        if self.fused_rnnt_loss:
+        impl = "fused" if self.fused_rnnt_loss else self.rnnt_impl
+        if impl == "pallas":
+            from wenet_celoss_tpu.ops.rnnt_pallas import rnnt_loss_pallas
+            losses = rnnt_loss_pallas(joint_out, rnnt_text, encoder_lens,
+                                      text_lengths, self.blank)
+        elif impl == "fused":
             losses = rnnt_loss_fused(joint_out, rnnt_text, encoder_lens,
                                      text_lengths, self.blank)
         else:
