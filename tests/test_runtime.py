@@ -195,3 +195,134 @@ def test_c_api_binding(runtime_build, tmp_path):
                                         "libwenet_tpu_api.so"),
                   chunk_size=chunk)
     assert dec._handle
+
+
+def _train_tiny_streaming_transducer(tmp_path):
+    """Tiny streaming transducer for the rnnt_greedy serving path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from wenet_celoss_tpu.models.factory import init_model
+    from wenet_celoss_tpu.ops.fbank import FbankConfig, compute_fbank_np
+    from wenet_celoss_tpu.parallel import train as T
+    from wenet_celoss_tpu.utils import checkpoint as ckpt
+
+    mel, chunk = 23, 4
+    configs = {
+        "input_dim": mel, "output_dim": 8,
+        "encoder": "transformer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 64, "num_blocks": 1,
+                         "dropout_rate": 0.0,
+                         "positional_dropout_rate": 0.0,
+                         "input_layer": "conv2d",
+                         "pos_enc_layer_type": "abs_pos",
+                         "static_chunk_size": chunk},
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64,
+                         "num_blocks": 1, "r_num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 32, "output_size": 32,
+                           "embed_dropout": 0.0, "hidden_size": 32,
+                           "num_layers": 1, "dropout": 0.0},
+        "joint_conf": {"join_dim": 32},
+        "model_conf": {"transducer_weight": 0.6, "ctc_weight": 0.2,
+                       "attention_weight": 0.2, "lsm_weight": 0.0,
+                       "reverse_weight": 0.3},
+        "dataset_conf": {"fbank_conf": {"num_mel_bins": mel}},
+    }
+    rng = np.random.default_rng(0)
+    freqs = {1: 400.0, 2: 1000.0, 3: 2400.0}
+    sr, seg, b = 16000, 3200, 4
+    label_seqs = [[1, 2, 3], [3, 1, 2], [2, 3, 1], [1, 3, 2]]
+    import jax.numpy as jnp
+    feats, labels = [], []
+    for seq in label_seqs:
+        wav = np.concatenate([
+            8000 * np.sin(2 * np.pi * freqs[t] * np.arange(seg) / sr)
+            for t in seq])
+        wav += rng.standard_normal(wav.shape) * 30
+        feats.append(compute_fbank_np(wav.astype(np.float32),
+                                      FbankConfig(num_mel_bins=mel)))
+        labels.append(seq)
+    t_max = max(f.shape[0] for f in feats)
+    feats_pad = np.zeros((b, t_max, mel), np.float32)
+    for i, f in enumerate(feats):
+        feats_pad[i, :f.shape[0]] = f
+    batch = {
+        "feats": jnp.asarray(feats_pad),
+        "feat_lengths": jnp.asarray([f.shape[0] for f in feats],
+                                    dtype=jnp.int32),
+        "labels": jnp.asarray(labels, dtype=jnp.int32),
+        "label_lengths": jnp.full((b,), 3, jnp.int32),
+    }
+    model = init_model(configs)
+    args = (batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"])
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(5e-3))
+    state = T.create_train_state(model, variables, tx)
+    train_step = T.make_train_step(model, tx)
+    key = jax.random.PRNGKey(1)
+    from wenet_celoss_tpu.decode.api import Decoder
+    expected_train = [list(map(int, r)) for r in np.asarray(batch["labels"])]
+    ok = False
+    for i in range(1000):
+        key, sub = jax.random.split(key)
+        state, metrics, _ = train_step(state, batch, sub)
+        if i >= 200 and i % 100 == 99:
+            dec = Decoder(model, {"params": state.params})
+            hyp = dec.rnnt_greedy_search(batch["feats"],
+                                         batch["feat_lengths"])
+            if hyp == expected_train:
+                ok = True
+                break
+    assert ok, f"tiny transducer never fit the train set: {hyp}"
+
+    model_dir = tmp_path / "tmodel"
+    os.makedirs(model_dir, exist_ok=True)
+    ckpt.save_checkpoint(state.params, str(model_dir / "final.ckpt"), {})
+    with open(model_dir / "train.yaml", "w") as f:
+        yaml.dump(configs, f)
+    with open(model_dir / "units.txt", "w") as f:
+        for s, i in {"<blank>": 0, "A": 1, "B": 2, "C": 3, "d": 4,
+                     "e": 5, "f": 6, "<sos/eos>": 7}.items():
+            f.write(f"{s} {i}\n")
+    # The tiny predictor LM memorizes training label orders, so evaluate
+    # on a TRAINING sequence — this test validates the serving plumbing
+    # (pipeline ↔ worker ↔ incremental greedy), not generalization.
+    eval_seq = [3, 1, 2]
+    wav = np.concatenate([
+        8000 * np.sin(2 * np.pi * freqs[t] * np.arange(seg) / sr)
+        for t in eval_seq]).astype(np.float32)
+    wav += np.random.default_rng(5).standard_normal(wav.shape) * 30
+    from wenet_celoss_tpu.data.wav import write_wav
+    wav_path = tmp_path / "teval.wav"
+    write_wav(wav_path, wav, sr)
+    return model_dir, wav_path, "CAB", chunk, mel
+
+
+@pytest.mark.slow
+def test_serving_transducer_greedy(runtime_build, tmp_path):
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_transducer(tmp_path)
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [os.path.join(runtime_build, "decoder_main"),
+         "--wav_path", str(wav_path),
+         "--symbol_table", str(model_dir / "units.txt"),
+         "--worker_cmd", worker_cmd,
+         "--chunk_size", str(chunk),
+         "--num_bins", str(mel),
+         "--mode", "rnnt_greedy_search"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    line = res.stdout.strip().splitlines()[-1]
+    hyp = line.split(maxsplit=1)[1] if " " in line else ""
+    assert hyp.replace(" ", "").upper() == expected, res.stdout + res.stderr
