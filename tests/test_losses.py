@@ -239,3 +239,38 @@ class TestRnntLossPallas:
             term = float(alpha[i, ilens[i] - 1, llens[i]]
                          + blank_lp[i, ilens[i] - 1, llens[i]])
             assert term == pytest.approx(float(beta[i, 0, 0]), rel=1e-4)
+
+
+class TestRnntLossSimple:
+    def test_matches_full_loss_on_factored_joint(self):
+        """With logits = am[:,:,None,:] + lm[:,None,:,:], the simple loss
+        must equal the full rnnt_loss on those logits."""
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_simple
+        rng = np.random.default_rng(31)
+        b, t, u, v = 3, 6, 4, 8
+        am = jnp.asarray(rng.standard_normal((b, t, v)), jnp.float32)
+        lm = jnp.asarray(rng.standard_normal((b, u + 1, v)), jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens = jnp.array([6, 5, 4])
+        llens = jnp.array([4, 2, 0])
+        logits = am[:, :, None, :] + lm[:, None, :, :]
+        ref = rnnt_loss(logits, labels, ilens, llens)
+        got = rnnt_loss_simple(am, lm, labels, ilens, llens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4)
+
+    def test_grad_flows(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_simple
+        rng = np.random.default_rng(32)
+        b, t, u, v = 2, 5, 3, 6
+        am = jnp.asarray(rng.standard_normal((b, t, v)), jnp.float32)
+        lm = jnp.asarray(rng.standard_normal((b, u + 1, v)), jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens, llens = jnp.array([5, 4]), jnp.array([3, 2])
+        g_am, g_lm = jax.grad(
+            lambda a, l: jnp.sum(rnnt_loss_simple(a, l, labels, ilens,
+                                                  llens)), argnums=(0, 1))(
+            am, lm)
+        assert np.isfinite(np.asarray(g_am)).all()
+        assert np.isfinite(np.asarray(g_lm)).all()
+        assert float(jnp.abs(g_am).sum()) > 0

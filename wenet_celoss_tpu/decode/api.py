@@ -120,8 +120,22 @@ class Decoder:
                 blank=model.blank, n_steps=n_steps)
             return rnnt_greedy.greedy_to_lists(toks, lens)
 
+        # The "unbiased" gate-off stream is biased with the EMPTY hotword
+        # list (sentinel [0] only) — reference `greedy_search.py:64-73`.
+        ctx_empty = jnp.zeros((1, 1), jnp.int32)
+        ctx_empty_lens = jnp.ones((1,), jnp.int32)
+        bias_hidden_empty = model.apply(
+            params, ctx_empty, ctx_empty_lens, method="bias_hidden")
+        _, enc_empty_biased, _, _ = model.apply(
+            params, feats, feat_lens, bias_hidden_empty,
+            method="encode_transducer")
+
         def predictor_bias_step(pred_out):
             return model.apply(params, bias_hidden, pred_out,
+                               method="predictor_bias_step")
+
+        def predictor_bias_step_empty(pred_out):
+            return model.apply(params, bias_hidden_empty, pred_out,
                                method="predictor_bias_step")
 
         def gate_step(enc_bias_t, pred_bias_u):
@@ -130,9 +144,10 @@ class Decoder:
 
         toks, lens, gates = rnnt_greedy.rnnt_gated_greedy_search(
             predictor_step, predictor_bias_step, joint_step, gate_step,
-            init_state, enc, enc_biased, enc_bias, enc_lens,
+            init_state, enc_empty_biased, enc_biased, enc_bias, enc_lens,
             blank=model.blank, n_steps=n_steps,
-            gate_on=(context_filter_state == "on"))
+            gate_on=(context_filter_state == "on"),
+            predictor_bias_step_empty=predictor_bias_step_empty)
         self.last_gates = (gates, lens)
         return rnnt_greedy.greedy_to_lists(toks, lens)
 

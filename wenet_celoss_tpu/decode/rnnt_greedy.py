@@ -134,7 +134,8 @@ def rnnt_gated_greedy_search(predictor_step: Callable,
                              init_state,
                              encoder_out, encoder_out_biased, enc_bias,
                              encoder_lens, blank: int = 0, n_steps: int = 4,
-                             u_max: int = 0, gate_on: bool = True):
+                             u_max: int = 0, gate_on: bool = True,
+                             predictor_bias_step_empty: Callable = None):
     """Hotword-gate-aware greedy decode over dual streams.
 
     Args (beyond rnnt_greedy_search):
@@ -142,11 +143,18 @@ def rnnt_gated_greedy_search(predictor_step: Callable,
         pred_bias_branch [B, E]).
       gate_step: (enc_bias_t [B, E], pred_bias_u [B, E]) -> gate logits
         [B, num_labels]; argmax 1 = hotword.
-      encoder_out / encoder_out_biased / enc_bias: [B, T, E].
+      encoder_out / encoder_out_biased / enc_bias: [B, T, E]. Per the
+        reference (`greedy_search.py:64-73`), "encoder_out" should be the
+        EMPTY-LIST-biased stream, not the raw encoder output — the model
+        never sees unbiased activations in training.
       gate_on: False decodes purely on the biased streams (reference
         context_filter_state == 'off').
+      predictor_bias_step_empty: like predictor_bias_step but attending
+        over the empty (sentinel-only) hotword list; identity fallback.
     Returns: (tokens [B, U_cap], lens [B], gates [B, U_cap])
     """
+    if predictor_bias_step_empty is None:
+        predictor_bias_step_empty = lambda p: (p, p)
     b, t_max, _ = encoder_out.shape
     if u_max <= 0:
         u_max = 2 * t_max
@@ -164,11 +172,12 @@ def rnnt_gated_greedy_search(predictor_step: Callable,
         def emit(sub_carry, _):
             pred_out, state, buf, gate_buf, cnt, alive = sub_carry
             pred_biased, pred_bias_branch = predictor_bias_step(pred_out)
+            pred_empty, _ = predictor_bias_step_empty(pred_out)
             gate_logits = gate_step(bias_t, pred_bias_branch)
             gate = jnp.argmax(gate_logits, axis=-1).astype(jnp.int32)
             use_bias = (gate > 0) if gate_on else jnp.ones((b,), bool)
             enc_sel = jnp.where(use_bias[:, None], enc_b_t, enc_t)
-            pred_sel = jnp.where(use_bias[:, None], pred_biased, pred_out)
+            pred_sel = jnp.where(use_bias[:, None], pred_biased, pred_empty)
             logits = joint_step(enc_sel, pred_sel)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             do = alive & (tok != blank) & (cnt < u_max)

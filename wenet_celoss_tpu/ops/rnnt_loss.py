@@ -214,6 +214,57 @@ rnnt_loss_fused.defvjp(_rnnt_fused_fwd, _rnnt_fused_bwd)
 
 
 @partial(jax.jit, static_argnames=("blank",))
+def rnnt_loss_simple(am: jnp.ndarray, lm: jnp.ndarray, labels: jnp.ndarray,
+                     input_lengths: jnp.ndarray, label_lengths: jnp.ndarray,
+                     blank: int = 0) -> jnp.ndarray:
+    """k2-style "simple" transducer loss over a factored joint.
+
+    Capability parity with the fork's ``transducer_k2_loss.py:149``
+    (k2.rnnt_loss_simple): the joint is the additive factorization
+    ``logit(v|t,u) = am[t,v] + lm[u,v]`` with NO joint network, so the
+    [B,T,U,V] tensor never exists. The log-softmax denominator
+
+        denom[t,u] = logsumexp_v(am[t,v] + lm[u,v])
+                   = log( exp(am) @ exp(lm)^T )   (max-shifted)
+
+    is ONE MXU matmul — the TPU-native formulation. O(B·T·U + B·(T+U)·V)
+    memory and compute, ideal as a large-vocab pretraining/pruning loss.
+
+    Args:
+      am: [B, T, V] encoder-side logits; lm: [B, U+1, V] predictor-side.
+    Returns: [B] negative log-likelihood.
+    """
+    b, t_max, v = am.shape
+    u1 = lm.shape[1]
+    am_max = jnp.max(am, axis=-1, keepdims=True)             # [B, T, 1]
+    lm_max = jnp.max(lm, axis=-1, keepdims=True)             # [B, U1, 1]
+    inner = jnp.einsum("btv,buv->btu", jnp.exp(am - am_max),
+                       jnp.exp(lm - lm_max))
+    denom = jnp.log(jnp.maximum(inner, jnp.finfo(jnp.float32).tiny)) \
+        + am_max + jnp.swapaxes(lm_max, 1, 2)                # [B, T, U1]
+
+    blank_lp = am[:, :, None, blank] + lm[:, None, :, blank] - denom
+    u = u1 - 1
+    if u > 0:
+        lab = jnp.concatenate(
+            [labels[:, :u], jnp.zeros((b, 1), labels.dtype)], axis=1)
+        am_y = jnp.take_along_axis(
+            am[:, :, None, :].repeat(u1, 2), lab[:, None, :, None],
+            axis=3)[..., 0]                                   # [B, T, U1]
+        lm_y = jnp.take_along_axis(lm, lab[:, :, None], axis=2)  # [B,U1,1]
+        emit_lp = am_y + lm_y[:, None, :, 0] - denom
+        emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
+    else:
+        emit_lp = jnp.full((b, t_max, u1), LOG_ZERO)
+
+    alpha = _alpha_scan(blank_lp, emit_lp)
+    t_last = jnp.maximum(input_lengths - 1, 0)
+    a_final = alpha[jnp.arange(b), t_last, label_lengths]
+    lp_final = blank_lp[jnp.arange(b), t_last, label_lengths]
+    return -(a_final + lp_final)
+
+
+@partial(jax.jit, static_argnames=("blank",))
 def rnnt_loss(logits: jnp.ndarray, labels: jnp.ndarray,
               input_lengths: jnp.ndarray, label_lengths: jnp.ndarray,
               blank: int = 0) -> jnp.ndarray:
