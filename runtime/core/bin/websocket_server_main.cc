@@ -17,6 +17,7 @@ int main(int argc, char** argv) {
   std::string symbol_table_path, worker_cmd;
   int chunk_size = 16;
   int max_connections = -1;
+  int num_bins = 80;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
@@ -26,6 +27,7 @@ int main(int argc, char** argv) {
     else if (a == "--chunk_size") chunk_size = std::atoi(next().c_str());
     else if (a == "--max_connections")
       max_connections = std::atoi(next().c_str());
+    else if (a == "--num_bins") num_bins = std::atoi(next().c_str());
     else {
       std::fprintf(stderr, "unknown flag %s\n", a.c_str());
       return 1;
@@ -51,7 +53,7 @@ int main(int argc, char** argv) {
 
   DecodeOptions opts;
   opts.chunk_size = chunk_size;
-  WebSocketServer server(port, resource, opts);
+  WebSocketServer server(port, resource, opts, num_bins);
   std::fprintf(stderr, "websocket server listening on %d\n", port);
   server.Start(max_connections);
   return 0;

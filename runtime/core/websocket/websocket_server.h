@@ -21,8 +21,10 @@ namespace wenet_tpu {
 class ConnectionHandler {
  public:
   ConnectionHandler(int fd, std::shared_ptr<DecodeResource> resource,
-                    DecodeOptions opts)
-      : fd_(fd), resource_(std::move(resource)), opts_(opts) {}
+                    DecodeOptions opts, int num_bins = 80,
+                    int sample_rate = 16000)
+      : fd_(fd), resource_(std::move(resource)), opts_(opts),
+        num_bins_(num_bins), sample_rate_(sample_rate) {}
 
   void operator()() {
     if (!ws::ServerHandshake(fd_)) {
@@ -55,7 +57,7 @@ class ConnectionHandler {
  private:
   void OnSpeechStart() {
     feature_pipeline_ = std::make_shared<FeaturePipeline>(
-        FeaturePipelineConfig(80, 16000));
+        FeaturePipelineConfig(num_bins_, sample_rate_));
     decoder_.reset(new AsrDecoder(feature_pipeline_, resource_, opts_));
     decode_thread_.reset(
         new std::thread(&ConnectionHandler::DecodeThreadFunc, this));
@@ -112,6 +114,8 @@ class ConnectionHandler {
   int fd_;
   std::shared_ptr<DecodeResource> resource_;
   DecodeOptions opts_;
+  int num_bins_;
+  int sample_rate_;
   std::shared_ptr<FeaturePipeline> feature_pipeline_;
   std::unique_ptr<AsrDecoder> decoder_;
   std::unique_ptr<std::thread> decode_thread_;
@@ -121,8 +125,10 @@ class ConnectionHandler {
 class WebSocketServer {
  public:
   WebSocketServer(int port, std::shared_ptr<DecodeResource> resource,
-                  DecodeOptions opts)
-      : port_(port), resource_(std::move(resource)), opts_(opts) {}
+                  DecodeOptions opts, int num_bins = 80,
+                  int sample_rate = 16000)
+      : port_(port), resource_(std::move(resource)), opts_(opts),
+        num_bins_(num_bins), sample_rate_(sample_rate) {}
 
   // Serves until the process exits (or max_connections reached, for tests).
   void Start(int max_connections = -1) {
@@ -144,8 +150,8 @@ class WebSocketServer {
     while (max_connections < 0 || served < max_connections) {
       int client = accept(server_fd, nullptr, nullptr);
       if (client < 0) break;
-      auto handler = std::make_shared<ConnectionHandler>(client, resource_,
-                                                         opts_);
+      auto handler = std::make_shared<ConnectionHandler>(
+          client, resource_, opts_, num_bins_, sample_rate_);
       threads.emplace_back([handler] { (*handler)(); });
       ++served;
     }
@@ -157,6 +163,8 @@ class WebSocketServer {
   int port_;
   std::shared_ptr<DecodeResource> resource_;
   DecodeOptions opts_;
+  int num_bins_;
+  int sample_rate_;
 };
 
 }  // namespace wenet_tpu

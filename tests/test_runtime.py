@@ -326,3 +326,122 @@ def test_serving_transducer_greedy(runtime_build, tmp_path):
     line = res.stdout.strip().splitlines()[-1]
     hyp = line.split(maxsplit=1)[1] if " " in line else ""
     assert hyp.replace(" ", "").upper() == expected, res.stdout + res.stderr
+
+
+def _ws_client_send(sock, opcode, payload: bytes):
+    import struct as st
+    hdr = bytes([0x80 | opcode])
+    n = len(payload)
+    # Client frames are masked per RFC 6455.
+    mask = b"\x12\x34\x56\x78"
+    if n < 126:
+        hdr += bytes([0x80 | n])
+    elif n < 65536:
+        hdr += bytes([0x80 | 126]) + st.pack(">H", n)
+    else:
+        hdr += bytes([0x80 | 127]) + st.pack(">Q", n)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    sock.sendall(hdr + mask + masked)
+
+
+def _ws_client_recv(sock):
+    import struct as st
+
+    def read_exact(n):
+        buf = b""
+        while len(buf) < n:
+            c = sock.recv(n - len(buf))
+            if not c:
+                raise EOFError
+            buf += c
+        return buf
+
+    hdr = read_exact(2)
+    op = hdr[0] & 0x0F
+    n = hdr[1] & 0x7F
+    if n == 126:
+        n = st.unpack(">H", read_exact(2))[0]
+    elif n == 127:
+        n = st.unpack(">Q", read_exact(8))[0]
+    return op, read_exact(n)
+
+
+@pytest.mark.slow
+def test_websocket_server_end_to_end(runtime_build, tmp_path):
+    import base64
+    import hashlib
+    import socket
+    import time
+
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    # NOTE: server's feature pipeline is 80-bin/16k; retrain won't match a
+    # 23-bin model, so run the server with a worker on the same config but
+    # accept that this test validates the PROTOCOL + pipeline plumbing:
+    # handshake, signaling, PCM framing, partial/final results.
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    port = 19000 + (os.getpid() % 900)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [os.path.join(runtime_build, "websocket_server_main"),
+         "--port", str(port),
+         "--symbol_table", str(model_dir / "units.txt"),
+         "--worker_cmd", worker_cmd,
+         "--chunk_size", str(chunk),
+         "--num_bins", str(mel),
+         "--max_connections", "1"],
+        env=env, stderr=subprocess.PIPE)
+    try:
+        # Wait for the listener.
+        for _ in range(100):
+            try:
+                sock = socket.create_connection(("127.0.0.1", port),
+                                                timeout=1)
+                sock.settimeout(180)  # first decode includes jit compile
+                break
+            except OSError:
+                time.sleep(0.2)
+        else:
+            raise RuntimeError("server never came up")
+        # Handshake.
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        req = (f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+               f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+               f"Sec-WebSocket-Version: 13\r\n\r\n")
+        sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+        assert b"101" in resp
+        accept = base64.b64encode(hashlib.sha1(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+        ).digest()).decode()
+        assert accept.encode() in resp
+
+        # Signal start, stream PCM from the eval wav, signal end.
+        from wenet_celoss_tpu.data.wav import read_wav
+        wav, sr = read_wav(str(wav_path))
+        pcm = np.clip(wav, -32768, 32767).astype("<i2").tobytes()
+        _ws_client_send(sock, 0x1, b'{"signal":"start"}')
+        op, payload = _ws_client_recv(sock)
+        assert b"server_ready" in payload
+        for i in range(0, len(pcm), 6400):
+            _ws_client_send(sock, 0x2, pcm[i:i + 6400])
+        _ws_client_send(sock, 0x1, b'{"signal":"end"}')
+        messages = []
+        while True:
+            op, payload = _ws_client_recv(sock)
+            messages.append(payload.decode())
+            if "speech_end" in payload.decode():
+                break
+        finals = [m for m in messages if "final_result" in m]
+        assert finals, messages
+        assert expected.lower().replace(" ", "") in \
+            finals[-1].replace(" ", ""), messages
+        sock.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
