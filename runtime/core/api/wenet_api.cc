@@ -44,6 +44,22 @@ class Recognizer {
     resource_->model = model_;
     resource_->symbol_table = symbol_table_;
     resource_->post_processor = std::make_shared<PostProcessor>();
+    // Optional LG decoding graph (reference wenet_api.cc:38-63 loads an
+    // optional TLG.fst + words.txt from the model dir).
+    {
+      auto fst = std::make_shared<LgFst>();
+      if (fst->Read(model_dir + "/lg.bin")) {
+        resource_->fst = fst;
+        opts_.search_type = SearchType::kWfstBeamSearch;
+        auto words = std::make_shared<
+            std::unordered_map<int, std::string>>();
+        std::ifstream in(model_dir + "/words.txt");
+        std::string sym;
+        int id;
+        while (in >> sym >> id) (*words)[id] = sym;
+        if (!words->empty()) resource_->symbol_table = words;
+      }
+    }
   }
 
   void InitDecoderIfNeeded() {

@@ -33,6 +33,13 @@ struct Flags {
   double rescoring_weight = 1.0;
   bool continuous = false;
   std::string mode = "ctc_prefix_beam_search";
+  // WFST (LG) decoding (reference --fst_path TLG.fst).
+  std::string fst_path;
+  double beam = 16.0;
+  double lm_scale = 1.0;
+  double acoustic_scale = 1.0;
+  double blank_skip_thresh = 0.98;
+  int max_active = 7000;
 };
 
 static Flags ParseFlags(int argc, char** argv) {
@@ -48,6 +55,15 @@ static Flags ParseFlags(int argc, char** argv) {
     else if (a == "--chunk_size") f.chunk_size = std::atoi(next().c_str());
     else if (a == "--num_bins") f.num_bins = std::atoi(next().c_str());
     else if (a == "--mode") f.mode = next();
+    else if (a == "--fst_path") f.fst_path = next();
+    else if (a == "--beam") f.beam = std::atof(next().c_str());
+    else if (a == "--lm_scale") f.lm_scale = std::atof(next().c_str());
+    else if (a == "--acoustic_scale")
+      f.acoustic_scale = std::atof(next().c_str());
+    else if (a == "--blank_skip_thresh")
+      f.blank_skip_thresh = std::atof(next().c_str());
+    else if (a == "--max_active")
+      f.max_active = std::atoi(next().c_str());
     else {
       std::fprintf(stderr, "unknown flag %s\n", a.c_str());
       std::exit(1);
@@ -86,6 +102,23 @@ int main(int argc, char** argv) {
   opts.chunk_size = flags.chunk_size;
   if (flags.mode == "rnnt_greedy_search")
     opts.search_type = SearchType::kRnntGreedySearch;
+  if (!flags.fst_path.empty()) {
+    auto fst = std::make_shared<LgFst>();
+    if (!fst->Read(flags.fst_path)) {
+      std::fprintf(stderr, "failed to read fst %s\n",
+                   flags.fst_path.c_str());
+      return 1;
+    }
+    resource->fst = fst;
+    opts.search_type = SearchType::kWfstBeamSearch;
+    opts.wfst_search_opts.beam = static_cast<float>(flags.beam);
+    opts.wfst_search_opts.lm_scale = static_cast<float>(flags.lm_scale);
+    opts.wfst_search_opts.acoustic_scale =
+        static_cast<float>(flags.acoustic_scale);
+    opts.wfst_search_opts.blank_skip_thresh =
+        static_cast<float>(flags.blank_skip_thresh);
+    opts.wfst_search_opts.max_active = flags.max_active;
+  }
 
   std::vector<std::pair<std::string, std::string>> waves;
   if (!flags.wav_path.empty()) waves.emplace_back("utt", flags.wav_path);

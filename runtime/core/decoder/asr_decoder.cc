@@ -16,6 +16,10 @@ AsrDecoder::AsrDecoder(std::shared_ptr<FeaturePipeline> feature_pipeline,
   model_->set_num_left_chunks(opts_.num_left_chunks);
   if (opts_.search_type == SearchType::kRnntGreedySearch) {
     searcher_.reset(new RnntGreedySearch());
+  } else if (opts_.search_type == SearchType::kWfstBeamSearch &&
+             resource_->fst != nullptr) {
+    searcher_.reset(
+        new WfstBeamSearch(resource_->fst, opts_.wfst_search_opts));
   } else {
     searcher_.reset(new CtcPrefixBeamSearch(opts_.ctc_search_opts,
                                             resource_->context_graph));
@@ -95,6 +99,11 @@ void AsrDecoder::UpdateResult(bool finish) {
       auto it = resource_->symbol_table->find(w);
       std::string word =
           it != resource_->symbol_table->end() ? it->second : "<unk>";
+      // WFST outputs are whole words: join with spaces (reference
+      // asr_decoder.cc:163-168).
+      if (searcher_->Type() == SearchType::kWfstBeamSearch && j > 0) {
+        path.sentence += ' ';
+      }
       path.sentence += word;
       if (j < times[i].size()) {
         int frame = times[i][j] + global_frame_offset_;

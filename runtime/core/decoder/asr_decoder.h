@@ -15,6 +15,7 @@
 #include "decoder/ctc_endpoint.h"
 #include "decoder/ctc_prefix_beam_search.h"
 #include "decoder/rnnt_greedy_search.h"
+#include "decoder/wfst_beam_search.h"
 #include "decoder/context_graph.h"
 #include "frontend/feature_pipeline.h"
 #include "post_processor/post_processor.h"
@@ -28,10 +29,11 @@ struct DecodeOptions {
   float ctc_weight = 0.5f;
   float rescoring_weight = 1.0f;
   float reverse_weight = 0.0f;
-  // "ctc_prefix_beam_search" | "rnnt_greedy_search"
+  // "ctc_prefix_beam_search" | "rnnt_greedy_search" | "ctc_wfst_beam_search"
   SearchType search_type = SearchType::kPrefixBeamSearch;
   CtcEndpointConfig ctc_endpoint_config;
   CtcPrefixBeamSearchOptions ctc_search_opts;
+  WfstBeamSearchOptions wfst_search_opts;
 };
 
 struct WordPiece {
@@ -64,6 +66,9 @@ struct DecodeResource {
   std::shared_ptr<std::unordered_map<int, std::string>> symbol_table;
   std::shared_ptr<ContextGraph> context_graph;
   std::shared_ptr<PostProcessor> post_processor;
+  // LG decoding graph; when set, search_type kWfstBeamSearch applies and
+  // symbol_table is the word table (words.txt).
+  std::shared_ptr<LgFst> fst;
 };
 
 class AsrDecoder {

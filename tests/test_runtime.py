@@ -445,3 +445,122 @@ def test_websocket_server_end_to_end(runtime_build, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+# ---------------------------------------------------------------------------
+# WFST (LG) beam search: C++ ↔ Python parity + e2e TLG-style decode
+# ---------------------------------------------------------------------------
+
+WFST_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=4
+
+\\1-grams:
+-0.8\t<s>\t-0.4
+-0.9\t</s>
+-0.6\tab\t-0.3
+-0.8\tba\t-0.25
+-1.5\tb\t-0.1
+
+\\2-grams:
+-0.3\t<s> ab
+-0.45\tab ba
+-0.5\tba ab
+-0.35\tab </s>
+
+\\end\\
+"""
+
+WFST_LEXICON = [("ab", [1, 2]), ("ba", [2, 1]), ("b", [2])]
+
+
+def _build_test_lg(tmp_path):
+    from wenet_celoss_tpu.lm.arpa import ArpaLM
+    from wenet_celoss_tpu.lm.fst import build_lg
+    arpa_path = tmp_path / "lm.arpa"
+    arpa_path.write_text(WFST_ARPA)
+    lg = build_lg(WFST_LEXICON, ArpaLM(str(arpa_path)), num_units=4)
+    lg.write(str(tmp_path / "lg.bin"))
+    return lg, tmp_path / "lg.bin"
+
+
+@pytest.mark.parametrize("blank_skip", [1.1, 0.98])
+def test_wfst_cross_language_parity(runtime_build, tmp_path, blank_skip):
+    from wenet_celoss_tpu.lm.fst import WfstDecodeOptions, wfst_beam_decode
+    lg, lg_bin = _build_test_lg(tmp_path)
+    rng = np.random.default_rng(42)
+    logp = rng.normal(size=(12, 4))
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    logp_path = tmp_path / "logp.txt"
+    np.savetxt(logp_path, logp, fmt="%.8f")
+
+    opts = WfstDecodeOptions(beam=1e8, max_active=10**9, nbest=3,
+                             blank_skip_thresh=blank_skip)
+    py_hyps = wfst_beam_decode(lg, logp, opts)
+
+    res = subprocess.run(
+        [os.path.join(runtime_build, "wfst_main"), str(lg_bin),
+         str(logp_path), "1e8", "1.0", "1.0", str(blank_skip), "3"],
+        capture_output=True, text=True, timeout=60)
+    assert res.returncode == 0, res.stderr
+    lines = [l for l in res.stdout.strip().splitlines() if l]
+    assert lines, res.stdout
+    cpp = []
+    for line in lines:
+        cost_s, words_s, units_s, times_s = line.split("|")
+        cpp.append((float(cost_s),
+                    [int(x) for x in words_s.split()],
+                    [int(x) for x in units_s.split()],
+                    [int(x) for x in times_s.split()]))
+    assert cpp[0][0] == pytest.approx(py_hyps[0].cost, abs=1e-3)
+    assert cpp[0][1] == py_hyps[0].words
+    assert cpp[0][2] == py_hyps[0].units
+    assert cpp[0][3] == py_hyps[0].word_times
+    # Full n-best word sequences agree (float32 vs float64 ties aside).
+    assert {tuple(h[1]) for h in cpp} == \
+        {tuple(h.words) for h in py_hyps[:len(cpp)]}
+
+
+@pytest.mark.slow
+def test_serving_wfst_decode(runtime_build, tmp_path):
+    """decoder_main --fst_path: word-level TLG-style decode through the
+    full serving stack (JAX worker CTC posteriors -> LG beam search)."""
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    # Words over units A/B/C; the eval wav is "BAC" -> words "BA C".
+    from wenet_celoss_tpu.lm.arpa import ArpaLM
+    from wenet_celoss_tpu.lm.fst import build_lg
+    arpa_path = tmp_path / "words.arpa"
+    arpa_path.write_text(
+        "\\data\\\nngram 1=5\n\n\\1-grams:\n"
+        "-0.5\t<s>\n-0.5\t</s>\n-0.5\tBA\n-0.5\tC\n-0.9\tAB\n\n\\end\\\n")
+    lexicon = [("BA", [2, 1]), ("C", [3]), ("AB", [1, 2])]
+    lg = build_lg(lexicon, ArpaLM(str(arpa_path)), num_units=8)
+    lg_bin = tmp_path / "lg.bin"
+    lg.write(str(lg_bin))
+    words_txt = tmp_path / "words.txt"
+    with open(words_txt, "w") as f:
+        for i, w in enumerate(lg.words):
+            f.write(f"{w} {i}\n")
+
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [os.path.join(runtime_build, "decoder_main"),
+         "--wav_path", str(wav_path),
+         "--symbol_table", str(words_txt),
+         "--fst_path", str(lg_bin),
+         "--worker_cmd", worker_cmd,
+         "--chunk_size", str(chunk),
+         "--num_bins", str(mel),
+         "--blank_skip_thresh", "1.1"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    line = res.stdout.strip().splitlines()[-1]
+    hyp = line.split(maxsplit=1)[1] if " " in line else ""
+    # post-processor lowercases (reference post_processor.cc behavior)
+    assert hyp.strip().lower() == "ba c", res.stdout + res.stderr
