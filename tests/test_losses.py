@@ -274,3 +274,90 @@ class TestRnntLossSimple:
         assert np.isfinite(np.asarray(g_am)).all()
         assert np.isfinite(np.asarray(g_lm)).all()
         assert float(jnp.abs(g_am).sum()) > 0
+
+
+class TestPrunedRnnt:
+    """k2-style pruned transducer: prune ranges + windowed lattice loss."""
+
+    def _setup(self, seed, b=3, t=8, u=5, v=7):
+        rng = np.random.default_rng(seed)
+        am = jnp.asarray(rng.standard_normal((b, t, v)), jnp.float32)
+        lm = jnp.asarray(rng.standard_normal((b, u + 1, v)), jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens = jnp.asarray(rng.integers(t - 2, t + 1, b), jnp.int32)
+        llens = jnp.asarray(rng.integers(1, u + 1, b), jnp.int32)
+        return am, lm, labels, ilens, llens
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_ranges_properties(self, seed):
+        from wenet_celoss_tpu.ops.rnnt_loss import get_rnnt_prune_ranges
+        am, lm, labels, ilens, llens = self._setup(seed)
+        s = 3
+        ranges = np.asarray(get_rnnt_prune_ranges(
+            am, lm, labels, ilens, llens, s_range=s))
+        b, t = ranges.shape
+        for i in range(b):
+            ti, ui = int(ilens[i]), int(llens[i])
+            assert ranges[i, 0] == 0
+            d = np.diff(ranges[i])
+            assert (d >= 0).all(), ranges[i]
+            assert (d <= s).all(), ranges[i]
+            # window bounds and termination coverage
+            assert (ranges[i] + s <= max(ui + 1, s)).all() or ui < s
+            fin = ranges[i, ti - 1]
+            assert fin <= ui <= fin + s - 1
+
+    def test_full_window_equals_full_loss(self):
+        """s_range == U+1 => windows cover the whole lattice => pruned loss
+        is exactly the full rnnt_loss."""
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_pruned
+        am, lm, labels, ilens, llens = self._setup(5, u=3)
+        b, t, v = am.shape[0], am.shape[1], am.shape[2]
+        u1 = lm.shape[1]
+        logits = am[:, :, None, :] + lm[:, None, :, :]
+        ranges = jnp.zeros((b, t), jnp.int32)
+        full = rnnt_loss(logits, labels, ilens, llens)
+        pruned = rnnt_loss_pruned(logits, ranges, labels, ilens, llens)
+        np.testing.assert_allclose(np.asarray(pruned), np.asarray(full),
+                                   rtol=1e-4)
+
+    def test_pruned_bounds_full(self):
+        """Pruned NLL >= full NLL (pruning removes probability mass) and is
+        close for a generous window."""
+        from wenet_celoss_tpu.ops.rnnt_loss import (get_rnnt_prune_ranges,
+                                                    rnnt_loss_pruned)
+        am, lm, labels, ilens, llens = self._setup(6)
+        s = 4
+        ranges = get_rnnt_prune_ranges(am, lm, labels, ilens, llens, s)
+        logits = am[:, :, None, :] + lm[:, None, :, :]
+        b, t = ranges.shape
+        k = jnp.arange(s)
+        abs_u = ranges[:, :, None] + k[None, None, :]
+        pruned_logits = jnp.take_along_axis(
+            logits, abs_u[..., None].clip(0, lm.shape[1] - 1), axis=2)
+        full = np.asarray(rnnt_loss(logits, labels, ilens, llens))
+        pruned = np.asarray(rnnt_loss_pruned(
+            pruned_logits, ranges, labels, ilens, llens))
+        assert (pruned >= full - 1e-3).all(), (pruned, full)
+        assert (pruned <= full + 2.5).all(), (pruned, full)
+
+    def test_grad_finite(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import (get_rnnt_prune_ranges,
+                                                    rnnt_loss_pruned)
+        am, lm, labels, ilens, llens = self._setup(7, b=2, t=6, u=4, v=6)
+        s = 3
+        ranges = get_rnnt_prune_ranges(am, lm, labels, ilens, llens, s)
+        k = jnp.arange(s)
+        abs_u = ranges[:, :, None] + k[None, None, :]
+
+        def loss_fn(a, l):
+            logits = a[:, :, None, :] + l[:, None, :, :]
+            pl = jnp.take_along_axis(
+                logits, abs_u[..., None].clip(0, l.shape[1] - 1), axis=2)
+            return jnp.sum(rnnt_loss_pruned(pl, ranges, labels, ilens,
+                                            llens))
+
+        g_am, g_lm = jax.grad(loss_fn, argnums=(0, 1))(am, lm)
+        assert np.isfinite(np.asarray(g_am)).all()
+        assert np.isfinite(np.asarray(g_lm)).all()
+        assert float(jnp.abs(g_am).sum()) > 0

@@ -147,3 +147,41 @@ class TestTransducer:
         cb_mass = sum(float(jnp.abs(g).sum())
                       for g in jax.tree_util.tree_leaves(cb))
         assert cb_mass > 0
+
+
+class TestPrunedTransducer:
+    def test_pruned_loss_trains(self):
+        """rnnt_impl='pruned': simple+pruned loss is finite, grads flow
+        through encoder/predictor/joint, and loss decreases with steps."""
+        import optax
+        cfg = transducer_configs("rnn")
+        cfg["model_conf"]["rnnt_impl"] = "pruned"
+        cfg["model_conf"]["prune_range"] = 3
+        rng = np.random.default_rng(9)
+        model = init_model(cfg)
+        feats, feat_lens, text, text_lens = make_batch(rng, t=30, u=4)
+        params = model.init(jax.random.PRNGKey(0), feats, feat_lens, text,
+                            text_lens)
+        out = model.apply(params, feats, feat_lens, text, text_lens)
+        assert np.isfinite(float(out["loss"]))
+        assert float(out["loss_rnnt"]) > 0
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(p, s):
+            def loss_fn(p):
+                return model.apply(p, feats, feat_lens, text,
+                                   text_lens)["loss"]
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        first = None
+        for i in range(30):
+            params, opt_state, loss = step(params, opt_state)
+            if first is None:
+                first = float(loss)
+        assert np.isfinite(float(loss))
+        assert float(loss) < first, (first, float(loss))

@@ -150,4 +150,6 @@ def _build_transducer(configs, vocab_size, encoder, decoder, ctc):
         hw_weight=model_conf.get("hw_weight", 0.4),
         loss_mode=model_conf.get("loss_mode", "both"),
         fused_rnnt_loss=model_conf.get("fused_rnnt_loss", False),
-        rnnt_impl=model_conf.get("rnnt_impl", "scan"))
+        rnnt_impl=model_conf.get("rnnt_impl", "scan"),
+        prune_range=model_conf.get("prune_range", 5),
+        simple_loss_scale=model_conf.get("simple_loss_scale", 0.5))

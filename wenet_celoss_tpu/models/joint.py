@@ -53,6 +53,15 @@ class TransducerJoint(nn.Module):
             pred_out = self.pred_ffn(pred_out)
         return self._combine(enc_out[:, :, None, :], pred_out[:, None, :, :])
 
+    def pruned(self, enc_out: jnp.ndarray, pred_w: jnp.ndarray):
+        """enc_out [B, T, E], pred_w [B, T, S, P] (predictor rows gathered
+        per pruned window, ops/rnnt_loss.get_rnnt_prune_ranges) →
+        [B, T, S, V]. The full [B, T, U+1, V] joint never exists."""
+        if self.prejoin_linear:
+            enc_out = self.enc_ffn(enc_out)
+            pred_w = self.pred_ffn(pred_w)
+        return self._combine(enc_out[:, :, None, :], pred_w)
+
     def single(self, enc_t: jnp.ndarray, pred_u: jnp.ndarray):
         """enc_t [B, E], pred_u [B, P] → logits [B, V] (decode hot path)."""
         if self.prejoin_linear:

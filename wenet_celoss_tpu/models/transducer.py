@@ -50,10 +50,20 @@ class Transducer(ASRModel):
     loss_mode: str = "both"   # pred | both | sep
     # RNN-T loss implementation: "scan" (XLA wavefront + autodiff),
     # "fused" (closed-form-VJP: ~halves peak HBM, softmax recompute in
-    # backward), "pallas" (single-kernel lattice + closed-form VJP).
+    # backward), "pallas" (single-kernel lattice + closed-form VJP),
+    # "pruned" (k2-style: factored simple loss picks per-frame label
+    # windows; the full joint runs only on [B,T,prune_range,V] — the
+    # large-vocab formulation, reference direction transducer_k2_loss.py).
     rnnt_impl: str = "scan"
+    prune_range: int = 5
+    simple_loss_scale: float = 0.5
     # Back-compat alias for rnnt_impl="fused".
     fused_rnnt_loss: bool = False
+
+    def setup(self):
+        if self.rnnt_impl == "pruned":
+            self.simple_am_proj = nn.Dense(self.vocab_size)
+            self.simple_lm_proj = nn.Dense(self.vocab_size)
 
     def __call__(self, speech, speech_lengths, text, text_lengths,
                  context_list=None, context_lengths=None, hw_label=None,
@@ -85,17 +95,40 @@ class Transducer(ASRModel):
                 self.context_bias.forward_predictor_bias(
                     bias_hidden, predictor_out, context_n_valid)
 
-        joint_out = self.joint(encoder_out, predictor_out)   # [B, T, U+1, V]
         rnnt_text = jnp.where(text == self.ignore_id, 0, text)
         impl = "fused" if self.fused_rnnt_loss else self.rnnt_impl
-        if impl == "pallas":
+        if impl == "pruned":
+            from wenet_celoss_tpu.ops.rnnt_loss import (
+                get_rnnt_prune_ranges, rnnt_loss_pruned, rnnt_loss_simple)
+            am = self.simple_am_proj(encoder_out)            # [B, T, V]
+            lm_s = self.simple_lm_proj(predictor_out)        # [B, U+1, V]
+            simple = rnnt_loss_simple(am, lm_s, rnnt_text, encoder_lens,
+                                      text_lengths, self.blank)
+            ranges = get_rnnt_prune_ranges(
+                jax.lax.stop_gradient(am), jax.lax.stop_gradient(lm_s),
+                rnnt_text, encoder_lens, text_lengths,
+                self.prune_range, self.blank)
+            b = encoder_out.shape[0]
+            u1 = predictor_out.shape[1]
+            abs_u = jnp.clip(
+                ranges[:, :, None] + jnp.arange(self.prune_range), 0, u1 - 1)
+            pred_w = predictor_out[
+                jnp.arange(b)[:, None, None], abs_u]         # [B, T, S, P]
+            joint_w = self.joint.pruned(encoder_out, pred_w)
+            pruned = rnnt_loss_pruned(joint_w, ranges, rnnt_text,
+                                      encoder_lens, text_lengths, self.blank)
+            losses = self.simple_loss_scale * simple + pruned
+        elif impl == "pallas":
+            joint_out = self.joint(encoder_out, predictor_out)
             from wenet_celoss_tpu.ops.rnnt_pallas import rnnt_loss_pallas
             losses = rnnt_loss_pallas(joint_out, rnnt_text, encoder_lens,
                                       text_lengths, self.blank)
         elif impl == "fused":
+            joint_out = self.joint(encoder_out, predictor_out)
             losses = rnnt_loss_fused(joint_out, rnnt_text, encoder_lens,
                                      text_lengths, self.blank)
         else:
+            joint_out = self.joint(encoder_out, predictor_out)
             losses = rnnt_loss(joint_out, rnnt_text, encoder_lens,
                                text_lengths, blank=self.blank)
         loss_rnnt = jnp.mean(losses)

@@ -234,15 +234,27 @@ def rnnt_loss_simple(am: jnp.ndarray, lm: jnp.ndarray, labels: jnp.ndarray,
       am: [B, T, V] encoder-side logits; lm: [B, U+1, V] predictor-side.
     Returns: [B] negative log-likelihood.
     """
+    b = am.shape[0]
+    blank_lp, emit_lp = _factored_planes(am, lm, labels, blank)
+    alpha = _alpha_scan(blank_lp, emit_lp)
+    t_last = jnp.maximum(input_lengths - 1, 0)
+    a_final = alpha[jnp.arange(b), t_last, label_lengths]
+    lp_final = blank_lp[jnp.arange(b), t_last, label_lengths]
+    return -(a_final + lp_final)
+
+
+def _factored_planes(am: jnp.ndarray, lm: jnp.ndarray, labels: jnp.ndarray,
+                     blank: int):
+    """Blank/emit planes of the factored joint am[t,v]+lm[u,v] (no joint
+    net), with the matmul log-softmax denominator (see rnnt_loss_simple)."""
     b, t_max, v = am.shape
     u1 = lm.shape[1]
-    am_max = jnp.max(am, axis=-1, keepdims=True)             # [B, T, 1]
-    lm_max = jnp.max(lm, axis=-1, keepdims=True)             # [B, U1, 1]
+    am_max = jnp.max(am, axis=-1, keepdims=True)
+    lm_max = jnp.max(lm, axis=-1, keepdims=True)
     inner = jnp.einsum("btv,buv->btu", jnp.exp(am - am_max),
                        jnp.exp(lm - lm_max))
     denom = jnp.log(jnp.maximum(inner, jnp.finfo(jnp.float32).tiny)) \
-        + am_max + jnp.swapaxes(lm_max, 1, 2)                # [B, T, U1]
-
+        + am_max + jnp.swapaxes(lm_max, 1, 2)
     blank_lp = am[:, :, None, blank] + lm[:, None, :, blank] - denom
     u = u1 - 1
     if u > 0:
@@ -250,18 +262,155 @@ def rnnt_loss_simple(am: jnp.ndarray, lm: jnp.ndarray, labels: jnp.ndarray,
             [labels[:, :u], jnp.zeros((b, 1), labels.dtype)], axis=1)
         am_y = jnp.take_along_axis(
             am[:, :, None, :].repeat(u1, 2), lab[:, None, :, None],
-            axis=3)[..., 0]                                   # [B, T, U1]
-        lm_y = jnp.take_along_axis(lm, lab[:, :, None], axis=2)  # [B,U1,1]
+            axis=3)[..., 0]
+        lm_y = jnp.take_along_axis(lm, lab[:, :, None], axis=2)
         emit_lp = am_y + lm_y[:, None, :, 0] - denom
         emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
     else:
         emit_lp = jnp.full((b, t_max, u1), LOG_ZERO)
+    return blank_lp, emit_lp
 
+
+@partial(jax.jit, static_argnames=("s_range", "blank"))
+def get_rnnt_prune_ranges(am: jnp.ndarray, lm: jnp.ndarray,
+                          labels: jnp.ndarray, input_lengths: jnp.ndarray,
+                          label_lengths: jnp.ndarray,
+                          s_range: int, blank: int = 0) -> jnp.ndarray:
+    """Per-frame label-window starts for pruned RNN-T training.
+
+    Capability parity with k2's ``get_rnnt_prune_ranges`` (the fork's
+    pruned-rnnt direction, reference `wenet/transducer/transducer_k2_loss.py`
+    uses the k2 losses): the emit-arc occupancies of the *simple* (factored)
+    joint decide, for every frame t, which window of ``s_range`` consecutive
+    label positions the expensive full joint needs to be evaluated on.
+
+    Returns: ranges [B, T] int32 — window start u-indices, guaranteed
+      - ranges[:, 0] == 0,
+      - non-decreasing along t,
+      - ranges[t+1] - ranges[t] <= s_range (the windowed lattice connects),
+      - window at frame T_b-1 covers U_b (termination cell reachable),
+      - ranges + s_range never exceeds U_b + 1.
+    """
+    b, t_max, _ = am.shape
+    u1 = lm.shape[1]
+    blank_lp, emit_lp = _factored_planes(am, lm, labels, blank=blank)
     alpha = _alpha_scan(blank_lp, emit_lp)
-    t_last = jnp.maximum(input_lengths - 1, 0)
-    a_final = alpha[jnp.arange(b), t_last, label_lengths]
-    lp_final = blank_lp[jnp.arange(b), t_last, label_lengths]
-    return -(a_final + lp_final)
+    beta = _beta_scan(blank_lp, emit_lp, input_lengths, label_lengths)
+    log_z = beta[:, 0, 0][:, None, None]
+
+    # Emit-arc occupancy occ_e[t, u] = P(path uses the (t,u)->(t,u+1) arc).
+    beta_right = jnp.concatenate(
+        [beta[:, :, 1:], jnp.full((b, t_max, 1), LOG_ZERO)], axis=2)
+    t_idx = jnp.arange(t_max)[None, :, None]
+    u_idx = jnp.arange(u1)[None, None, :]
+    t_last = (input_lengths - 1)[:, None, None]
+    u_last = label_lengths[:, None, None]
+    in_lat = (t_idx <= t_last) & (u_idx < u_last)
+    occ_e = jnp.exp(jnp.where(in_lat, alpha + emit_lp + beta_right - log_z,
+                              LOG_ZERO))                      # [B, T, U1]
+
+    # Window score: sum of occupancies inside [k, k + s_range).
+    csum = jnp.cumsum(occ_e, axis=2)
+    pad = jnp.zeros((b, t_max, 1), csum.dtype)
+    csum = jnp.concatenate([pad, csum], axis=2)               # [B, T, U1+1]
+    num_starts = max(u1 - s_range + 1, 1)
+    k = jnp.arange(num_starts)
+    win = csum[:, :, jnp.minimum(k + s_range, u1)] - csum[:, :, k]
+    start = jnp.argmax(win, axis=2).astype(jnp.int32)         # [B, T]
+
+    # Feasibility constraints (k2 adjust_pruning_lower_bound equivalent).
+    u_hi = jnp.maximum(label_lengths[:, None] - s_range + 1, 0)  # max start
+    start = jnp.minimum(start, u_hi)
+    # Final frame must cover U_b; frames at/after T_b hold that value.
+    final_start = u_hi[:, 0]
+    at_or_after_end = jnp.arange(t_max)[None, :] >= \
+        (input_lengths - 1)[:, None]
+    start = jnp.where(at_or_after_end, final_start[:, None], start)
+    # Backward: start[t] >= start[t'] - s_range * (t' - t) for all t' > t
+    #   <=>  start[t] = max_{t'>=t}(start[t'] - s_range * t') + s_range * t.
+    sr_t = s_range * jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    y = start - sr_t
+    y_rev_cummax = jnp.flip(jax.lax.cummax(jnp.flip(y, axis=1), axis=1),
+                            axis=1)
+    start = y_rev_cummax + sr_t
+    # Forward: non-decreasing.
+    start = jax.lax.cummax(start, axis=1)
+    start = jnp.clip(start, 0, u_hi)
+    start = start.at[:, 0].set(0)
+    return start
+
+
+def rnnt_loss_pruned(logits: jnp.ndarray, ranges: jnp.ndarray,
+                     labels: jnp.ndarray, input_lengths: jnp.ndarray,
+                     label_lengths: jnp.ndarray,
+                     blank: int = 0) -> jnp.ndarray:
+    """Transducer NLL over a pruned [B, T, S, V] joint (k2 rnnt_loss_pruned
+    equivalent; S = s_range << U+1).
+
+    ``logits[b, t, k]`` are the joint logits for lattice cell
+    (t, ranges[b, t] + k). Because windows move monotonically with bounded
+    per-frame shift (see get_rnnt_prune_ranges), the full [B,T,U+1,V] joint
+    never exists: O(B·T·S·V) memory — the large-vocab training formulation.
+
+    The recursion runs frame-major (`lax.scan` over t) with the in-frame
+    emit chain unrolled over the S window positions (S is small/static).
+    """
+    b, t_max, s, v = logits.shape
+    u = labels.shape[1]
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    blank_w = lp[..., blank]                                  # [B, T, S]
+    k_idx = jnp.arange(s)
+    abs_u = ranges[:, :, None] + k_idx[None, None, :]         # [B, T, S]
+    lab = jnp.take_along_axis(
+        jnp.concatenate([labels, jnp.zeros((b, 1), labels.dtype)], axis=1),
+        jnp.minimum(abs_u, u).reshape(b, -1), axis=1).reshape(b, t_max, s)
+    emit_w = jnp.take_along_axis(lp, lab[..., None], axis=3)[..., 0]
+    emit_valid = abs_u < label_lengths[:, None, None]
+    emit_w = jnp.where(emit_valid, emit_w, LOG_ZERO)
+    cell_valid = abs_u <= label_lengths[:, None, None]
+
+    # Frame 0 (ranges[:, 0] == 0): alpha[0, 0] = 0 then the emit chain.
+    def emit_chain(from_below, emit_row):
+        """alpha_row[k] = logaddexp(from_below[k], alpha_row[k-1]+emit[k-1])"""
+        row = [from_below[:, 0]]
+        for kk in range(1, s):
+            row.append(jnp.logaddexp(from_below[:, kk],
+                                     row[-1] + emit_row[:, kk - 1]))
+        return jnp.stack(row, axis=1)
+
+    init_below = jnp.full((b, s), LOG_ZERO).at[:, 0].set(0.0)
+    alpha0 = emit_chain(init_below, emit_w[:, 0])
+    alpha0 = jnp.where(cell_valid[:, 0], alpha0, LOG_ZERO)
+
+    def step(carry, xs):
+        alpha_prev = carry                                    # [B, S]
+        blank_prev, emit_row, delta, valid_row = xs
+        # Blank move: window-t cell k sources window-(t-1) cell k + delta.
+        src = k_idx[None, :] + delta[:, None]                 # [B, S]
+        src_c = jnp.minimum(src, s - 1)
+        gathered = jnp.take_along_axis(alpha_prev, src_c, axis=1) + \
+            jnp.take_along_axis(blank_prev, src_c, axis=1)
+        from_below = jnp.where(src < s, gathered, LOG_ZERO)
+        alpha_t = emit_chain(from_below, emit_row)
+        alpha_t = jnp.where(valid_row, alpha_t, LOG_ZERO)
+        return alpha_t, alpha_t
+
+    deltas = ranges[:, 1:] - ranges[:, :-1]                   # [B, T-1]
+    xs = (jnp.moveaxis(blank_w[:, :-1], 1, 0),
+          jnp.moveaxis(emit_w[:, 1:], 1, 0),
+          jnp.moveaxis(deltas, 1, 0),
+          jnp.moveaxis(cell_valid[:, 1:], 1, 0))
+    if t_max > 1:
+        _, alphas = jax.lax.scan(step, alpha0, xs)
+        alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+    else:
+        alphas = alpha0[None]
+    alphas = jnp.moveaxis(alphas, 0, 1)                       # [B, T, S]
+
+    bi = jnp.arange(b)
+    t_fin = jnp.maximum(input_lengths - 1, 0)
+    k_fin = jnp.clip(label_lengths - ranges[bi, t_fin], 0, s - 1)
+    return -(alphas[bi, t_fin, k_fin] + blank_w[bi, t_fin, k_fin])
 
 
 @partial(jax.jit, static_argnames=("blank",))
