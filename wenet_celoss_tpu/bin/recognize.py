@@ -40,6 +40,10 @@ def get_args():
     parser.add_argument("--beam_size", type=int, default=10)
     parser.add_argument("--decoding_chunk_size", type=int, default=-1)
     parser.add_argument("--num_decoding_left_chunks", type=int, default=-1)
+    parser.add_argument("--simulate_streaming", action="store_true",
+                        help="decode chunk-by-chunk with bounded caches "
+                             "(true streaming simulation; requires "
+                             "--decoding_chunk_size > 0)")
     parser.add_argument("--ctc_weight", type=float, default=0.0)
     parser.add_argument("--transducer_weight", type=float, default=1.0)
     parser.add_argument("--attn_weight", type=float, default=1.0)
@@ -145,20 +149,25 @@ def main():
                     ctx[i, :len(r)] = r
                     ctx_lens[i] = len(r)
             kw = {}
+            if args.decoding_chunk_size > 0:
+                kw = dict(
+                    decoding_chunk_size=args.decoding_chunk_size,
+                    num_decoding_left_chunks=args.num_decoding_left_chunks,
+                    simulate_streaming=args.simulate_streaming)
             if args.mode == "attention":
                 hyps = decoder.attention(feats, feat_lens,
-                                         beam=args.beam_size)
+                                         beam=args.beam_size, **kw)
             elif args.mode == "ctc_greedy_search":
-                hyps = decoder.ctc_greedy_search(feats, feat_lens)
+                hyps = decoder.ctc_greedy_search(feats, feat_lens, **kw)
             elif args.mode == "ctc_prefix_beam_search":
                 hyps, _, _, _ = decoder.ctc_prefix_beam_search(
-                    feats, feat_lens, beam=args.beam_size)
+                    feats, feat_lens, beam=args.beam_size, **kw)
                 hyps = [h[0] for h in hyps]
             elif args.mode == "attention_rescoring":
                 hyps = decoder.attention_rescoring(
                     feats, feat_lens, beam=args.beam_size,
                     ctc_weight=args.ctc_weight,
-                    reverse_weight=args.reverse_weight)
+                    reverse_weight=args.reverse_weight, **kw)
             elif args.mode == "rnnt_greedy_search":
                 hyps = decoder.rnnt_greedy_search(
                     feats, feat_lens,

@@ -34,13 +34,58 @@ class Decoder:
             self.params, feats, feat_lens, decoding_chunk_size,
             num_decoding_left_chunks, method="encode_ctc")
 
+    def encode_ctc_streaming(self, feats, feat_lens, decoding_chunk_size,
+                             num_decoding_left_chunks=-1):
+        """Simulated streaming encode: true chunk-by-chunk forward with
+        bounded att/conv caches (reference ``recognize.py
+        --simulate_streaming`` → ``encoder.forward_chunk_by_chunk``,
+        `encoder.py:270-326`). Numerically identical to the runtime's
+        streaming path, unlike the chunk-masked full forward.
+
+        num_decoding_left_chunks < 0 keeps a generous fixed cache of 16
+        chunks (fixed shapes require a bound; the reference grows the cache
+        unboundedly)."""
+        from wenet_celoss_tpu.decode.streaming import forward_chunk_by_chunk
+        from wenet_celoss_tpu.models.subsampling import subsampled_length
+        enc = self.model.encoder
+        sub, rctx = enc.subsampling_rate, enc.right_context
+        left = num_decoding_left_chunks if num_decoding_left_chunks > 0 \
+            else 16
+        b = feats.shape[0]
+        cache = self.model.apply(self.params, b,
+                                 decoding_chunk_size * left,
+                                 method="encoder_init_cache")
+        fwd = jax.jit(lambda xs, c: self.model.apply(
+            self.params, xs, c, method="encoder_forward_chunk_ctc"))
+
+        def fwd2(xs, c):
+            ys, ctc_lp, new_cache = fwd(xs, c)
+            return (ys, ctc_lp), new_cache
+
+        (ys, ctc_lp), _ = forward_chunk_by_chunk(
+            fwd2, cache, feats, sub, rctx, decoding_chunk_size)
+        t_out = ys.shape[1]
+        out_lens = jnp.minimum(
+            subsampled_length(enc.input_layer, feat_lens), t_out)
+        mask = jnp.arange(t_out)[None, :] < out_lens[:, None]
+        return ys, mask, ctc_lp
+
+    def _encode(self, feats, feat_lens, simulate_streaming=False,
+                decoding_chunk_size=-1, num_decoding_left_chunks=-1):
+        if simulate_streaming and decoding_chunk_size > 0:
+            return self.encode_ctc_streaming(feats, feat_lens,
+                                             decoding_chunk_size,
+                                             num_decoding_left_chunks)
+        return self.encode_ctc(feats, feat_lens, decoding_chunk_size,
+                               num_decoding_left_chunks)
+
     def ctc_greedy_search(self, feats, feat_lens, **kw) -> List[List[int]]:
-        _, mask, ctc_lp = self.encode_ctc(feats, feat_lens, **kw)
+        _, mask, ctc_lp = self._encode(feats, feat_lens, **kw)
         return ctc_greedy.ctc_greedy_search(ctc_lp, mask)
 
     def ctc_prefix_beam_search(self, feats, feat_lens, beam: int = 10,
                                **kw):
-        enc, mask, ctc_lp = self.encode_ctc(feats, feat_lens, **kw)
+        enc, mask, ctc_lp = self._encode(feats, feat_lens, **kw)
         lens = jnp.sum(mask.astype(jnp.int32), axis=1)
         res = ctc_prefix_beam.ctc_prefix_beam_search(
             ctc_lp, lens, beam=beam, first_beam=max(beam, 10))
@@ -48,7 +93,7 @@ class Decoder:
 
     def attention(self, feats, feat_lens, beam: int = 10,
                   max_len: int = 0, **kw) -> List[List[int]]:
-        enc, mask, _ = self.encode_ctc(feats, feat_lens, **kw)
+        enc, mask, _ = self._encode(feats, feat_lens, **kw)
         if max_len <= 0:
             max_len = int(enc.shape[1])
 

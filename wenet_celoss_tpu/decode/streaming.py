@@ -56,4 +56,7 @@ def forward_chunk_by_chunk(forward_chunk_fn: Callable, init_cache,
     if not outputs:
         raise ValueError(
             f"utterance too short for one chunk: {num_frames} < {window}")
-    return jnp.concatenate(outputs, axis=1), cache
+    # ys may be a single array or a pytree of per-chunk arrays (e.g.
+    # (encoder_out, ctc_log_probs)); concatenate leaf-wise along time.
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1),
+                        *outputs), cache

@@ -92,7 +92,7 @@ class Conv2dSubsampling6(nn.Module):
         b, t, f, c = h.shape
         h = self.out(h.reshape(b, t, f * c))
         h, pos_emb = self.pos_enc(h, offset, deterministic=deterministic)
-        new_len = _conv_out_len(_conv_out_len(lengths), 3, 2)
+        new_len = _conv_out_len(lengths, 3, 2)
         new_len = _conv_out_len(new_len, 5, 3)
         return h, pos_emb, new_len
 
@@ -133,3 +133,17 @@ SUBSAMPLE_CLASSES = {
     "conv2d6": Conv2dSubsampling6,
     "conv2d8": Conv2dSubsampling8,
 }
+
+
+def subsampled_length(input_layer: str, lengths):
+    """Output frame count of the given subsampling frontend (mirrors each
+    class's ``__call__`` length arithmetic; usable outside a module)."""
+    if input_layer == "linear":
+        return lengths
+    if input_layer == "conv2d":
+        return _conv_out_len(_conv_out_len(lengths))
+    if input_layer == "conv2d6":
+        return _conv_out_len(_conv_out_len(lengths, 3, 2), 5, 3)
+    if input_layer == "conv2d8":
+        return _conv_out_len(_conv_out_len(_conv_out_len(lengths)))
+    raise ValueError(input_layer)
