@@ -77,8 +77,8 @@ def _data():
     }
 
 
-@pytest.mark.slow
-def test_gated_greedy_decode_with_hotwords():
+@pytest.fixture(scope="module")
+def trained():
     cfg = _configs()
     batch = _data()
     model = init_model(cfg)
@@ -104,7 +104,12 @@ def test_gated_greedy_decode_with_hotwords():
         grads, metrics, _ = grad_fn(state, cur, sub)
         state, _ = apply_fn(state, grads)
     assert float(metrics["loss"]) < 2.5, float(metrics["loss"])
+    return model, state, batch
 
+
+@pytest.mark.slow
+def test_gated_greedy_decode_with_hotwords(trained):
+    model, state, batch = trained
     dec = Decoder(model, {"params": state.params})
     expected = [list(map(int, r)) for r in np.asarray(batch["labels"])]
 
@@ -132,3 +137,74 @@ def test_gated_greedy_decode_with_hotwords():
         context_lengths=batch["context_lengths"],
         context_filter_state="off")
     assert hyps_off == expected
+
+
+@pytest.mark.slow
+def test_exact_backtracking_decode(trained):
+    """context_filter_state='exact' on a trained model: runs end to end,
+    utterances without hotwords decode exactly as labeled (the crossed
+    stream selection only differs when the gate fires)."""
+    model, state, batch = trained
+    dec = Decoder(model, {"params": state.params})
+    hyps = dec.rnnt_greedy_search(
+        batch["feats"], batch["feat_lengths"],
+        context_list=batch["context_list"],
+        context_lengths=batch["context_lengths"],
+        context_filter_state="exact")
+    assert len(hyps) == 4
+    gates, glens = dec.last_gates
+    assert all(int(g) > 0 for g in glens)
+    expected = [list(map(int, r)) for r in np.asarray(batch["labels"])]
+    assert hyps[2] == expected[2]
+    assert hyps[3] == expected[3]
+
+
+def test_exact_backtracking_golden_trace():
+    """Golden-value trace of the backtracking repair algorithm
+    (reference greedy_search.py:88-176) on scripted step functions.
+
+    Scenario (hand-traced): T=3, n_steps=2. The first frame emits token 1
+    under gate 1, the second predictor step gates 0 (recording last_t=0),
+    its token 2 is emitted at frame 1, and the next step gates 1 —
+    triggering the repair: pop token 2, rewind to frame 0, force gate 1
+    until passing frame 1. The replay emits a different token sequence
+    because the forced gate selects the other (crossed) stream pair.
+    Expected: hyps [1, 2, 1], gate record [1, 1, 1, 1].
+    """
+    from wenet_celoss_tpu.decode.rnnt_greedy import (
+        rnnt_gated_greedy_search_exact)
+
+    G = {(0, 0): 1, (0, 1): 0, (1, 2): 1, (2, 1): 0}
+    J = {(10, 200): 1, (0, 101): 0, (1, 101): 2, (10, 201): 2,
+         (10, 202): 0, (11, 202): 0, (12, 202): 1, (12, 201): 0}
+
+    def predictor_step(tok, state, pad):
+        return jnp.asarray([[float(tok[0])]]), int(tok[0])
+
+    def predictor_bias_step(pred_out):
+        return pred_out + 100.0, pred_out
+
+    def predictor_bias_step_empty(pred_out):
+        return pred_out + 200.0, pred_out
+
+    def gate_step(bias_t, pred_bias):
+        g = G.get((int(bias_t[0, 0]), int(pred_bias[0, 0])), 0)
+        return jnp.asarray([[1.0 - g, float(g)]])
+
+    def joint_step(enc_sel, pred_sel):
+        tok = J.get((int(enc_sel[0, 0]), int(pred_sel[0, 0])), 0)
+        logits = np.zeros((1, 3), np.float32)
+        logits[0, tok] = 1.0
+        return jnp.asarray(logits)
+
+    enc_empty = jnp.asarray([[[0.0], [1.0], [2.0]]])   # [1, 3, 1]
+    enc_biased = enc_empty + 10.0
+    enc_bias = enc_empty
+
+    hyps, gates = rnnt_gated_greedy_search_exact(
+        predictor_step, predictor_bias_step, predictor_bias_step_empty,
+        joint_step, gate_step, init_state=0,
+        encoder_out_empty=enc_empty, encoder_out_biased=enc_biased,
+        enc_bias=enc_bias, encoder_len=3, blank=0, n_steps=2)
+    assert hyps == [1, 2, 1], (hyps, gates)
+    assert gates == [1, 1, 1, 1], (hyps, gates)

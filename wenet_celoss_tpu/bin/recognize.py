@@ -55,7 +55,10 @@ def get_args():
     parser.add_argument("--context_dict", default=None,
                         help="pickled per-utterance hotword dict (mode 4)")
     parser.add_argument("--context_filter_state", default="off",
-                        choices=["on", "off"])
+                        choices=["on", "off", "exact"],
+                        help="'on': batched jit gate-consistent decode; "
+                             "'exact': reference-exact backtracking repair "
+                             "loop (greedy_search.py:110-137)")
     return parser.parse_args()
 
 

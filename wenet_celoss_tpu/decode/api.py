@@ -187,6 +187,31 @@ class Decoder:
             return model.apply(params, enc_bias_t, pred_bias_u,
                                method="hw_gate_step")
 
+        if context_filter_state == "exact":
+            # Reference-exact backtracking repair loop (host-driven,
+            # per-utterance; greedy_search.py:110-137 semantics incl.
+            # crossed stream selection).
+            p_step, j_step, init1 = self._transducer_fns(1)
+            all_hyps, all_gates, glens = [], [], []
+            for i in range(b):
+                hyps_i, gates_i = \
+                    rnnt_greedy.rnnt_gated_greedy_search_exact(
+                        p_step, predictor_bias_step,
+                        predictor_bias_step_empty, j_step, gate_step,
+                        init1, enc_empty_biased[i:i + 1],
+                        enc_biased[i:i + 1], enc_bias[i:i + 1],
+                        int(enc_lens[i]), blank=model.blank,
+                        n_steps=n_steps)
+                all_hyps.append(hyps_i)
+                all_gates.append(gates_i)
+                glens.append(len(gates_i))
+            g_max = max(glens) if glens else 0
+            gates_arr = np.zeros((b, max(g_max, 1)), np.int32)
+            for i, g in enumerate(all_gates):
+                gates_arr[i, :len(g)] = g
+            self.last_gates = (gates_arr, np.asarray(glens, np.int32))
+            return all_hyps
+
         toks, lens, gates = rnnt_greedy.rnnt_gated_greedy_search(
             predictor_step, predictor_bias_step, joint_step, gate_step,
             init_state, enc_empty_biased, enc_biased, enc_bias, enc_lens,

@@ -211,3 +211,114 @@ def greedy_to_lists(tokens, lens):
     tokens, lens = np.asarray(tokens), np.asarray(lens)
     return [[int(x) for x in tokens[i, : lens[i]]]
             for i in range(tokens.shape[0])]
+
+
+def rnnt_gated_greedy_search_exact(predictor_step: Callable,
+                                   predictor_bias_step: Callable,
+                                   predictor_bias_step_empty: Callable,
+                                   joint_step: Callable,
+                                   gate_step: Callable,
+                                   init_state,
+                                   encoder_out_empty, encoder_out_biased,
+                                   enc_bias, encoder_len: int,
+                                   blank: int = 0, n_steps: int = 4,
+                                   gate_on: bool = True):
+    """EXACT-parity re-implementation of the fork's backtracking gated
+    greedy decode (reference `wenet/transducer/search/greedy_search.py:
+    34-176`), one utterance per call (batch dim 1 throughout).
+
+    Mirrored faithfully, including details that differ from the batched
+    `rnnt_gated_greedy_search` fast path:
+
+    - Stream CROSSING (`greedy_search.py:139-151`): gate==1 pairs the
+      real-list-biased ENCODER with the EMPTY-list-biased PREDICTOR;
+      gate==0 pairs the empty-list-biased encoder with the real-biased
+      predictor.
+    - Backtracking repair (`greedy_search.py:110-137`): when a gate-1
+      step immediately follows a gate-0 step, pop the gate-0 token and
+      its caches, rewind to the frame of that step (`last_t`), and replay
+      with gate forced to 1 until passing the frame where the 1 appeared
+      (`go_back_end`).
+    - Per-step gate record `result` aligns with predictor steps, not
+      emissions, and `per_frame_noblk` is decremented on backtrack
+      (`greedy_search.py:125`).
+
+    This is a host loop (so is the reference); every step callable runs
+    jitted on device. Returns (hyps, gates) as python lists.
+    """
+    t = 0
+    hyps: list = []
+    result: list = []
+    prev_out_nblk = True
+    per_frame_noblk = 0
+    go_back_flag = 0
+    go_back_end = -1
+    last_t = 0
+    cache = init_state
+    pred_input = jnp.full((1,), blank, jnp.int32)
+    no_pad = jnp.zeros((1,), jnp.int32)
+    step_list: list = []
+    cache_list: list = []
+    input_list: list = []
+    pred_sel = None
+
+    while t < encoder_len:
+        enc_t_empty = encoder_out_empty[:, t]
+        enc_t_biased = encoder_out_biased[:, t]
+        bias_t = enc_bias[:, t]
+        if prev_out_nblk:
+            pred_out_step, new_cache = predictor_step(pred_input, cache,
+                                                      no_pad)
+            step_list.append(pred_out_step)
+            cache_list.append(cache)
+            input_list.append(pred_input)
+            _, pred_bias_branch = predictor_bias_step(pred_out_step)
+            if gate_on:
+                gate = int(jnp.argmax(gate_step(bias_t, pred_bias_branch),
+                                      axis=-1)[0])
+                if go_back_flag == 0:
+                    if gate == 0:
+                        result.append(0)
+                        last_t = t
+                    else:
+                        if result and result[-1] == 0:
+                            go_back_end = t
+                            t = last_t
+                            go_back_flag = 1
+                            result.pop()
+                            if hyps:  # reference assumes non-empty
+                                hyps.pop()
+                            input_list.pop()
+                            per_frame_noblk -= 1
+                            step_list.pop()
+                            cache_list.pop()
+                            cache = cache_list[-1]
+                            pred_input = input_list[-1]
+                            continue
+                        result.append(1)
+                else:
+                    result.append(1)
+                    if t >= go_back_end:
+                        go_back_flag = 0
+            else:
+                result.append(1)
+            if result[-1] == 1:
+                pred_sel, _ = predictor_bias_step_empty(pred_out_step)
+            else:
+                pred_sel, _ = predictor_bias_step(pred_out_step)
+
+        enc_sel = enc_t_biased if result[-1] == 1 else enc_t_empty
+        logits = joint_step(enc_sel, pred_sel)
+        tok = int(jnp.argmax(logits, axis=-1)[0])
+        if tok != blank:
+            hyps.append(tok)
+            prev_out_nblk = True
+            per_frame_noblk += 1
+            pred_input = jnp.full((1,), tok, jnp.int32)
+            cache = new_cache
+        if tok == blank or per_frame_noblk >= n_steps:
+            if tok == blank:
+                prev_out_nblk = False
+            t += 1
+            per_frame_noblk = 0
+    return hyps, result
