@@ -111,3 +111,62 @@ class TestContextFilter:
         assert [int(x) for x in res[1]] == [2, 3]
         # Absent phrase [4,5] filtered out by threshold.
         assert all([int(x) for x in r] != [4, 5] for r in res[1:])
+
+
+class TestPipelineParallelism:
+    def test_parallel_map_preserves_order(self):
+        from wenet_celoss_tpu.data.processor import parallel_map
+        import time as _time
+
+        def slow_sq(x):
+            _time.sleep(0.001 * (x % 3))
+            return x * x
+
+        out = list(parallel_map(iter(range(50)), slow_sq, num_workers=4))
+        assert out == [i * i for i in range(50)]
+
+    def test_prefetch_yields_all_and_propagates_errors(self):
+        from wenet_celoss_tpu.data.processor import prefetch
+        assert list(prefetch(iter(range(20)), 3)) == list(range(20))
+
+        def boom():
+            yield 1
+            raise RuntimeError("pipeline error")
+
+        it = prefetch(boom(), 2)
+        assert next(it) == 1
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="pipeline error"):
+            next(it)
+
+    def test_dataset_num_workers_matches_serial(self, tmp_path):
+        """num_workers>0 produces identical batches to the serial path."""
+        import json
+        import numpy as np
+        from wenet_celoss_tpu.data.dataset import Dataset
+        from wenet_celoss_tpu.data.wav import write_wav
+        rng = np.random.default_rng(0)
+        lines = []
+        for i in range(6):
+            wav = (rng.standard_normal(3200) * 1000).astype(np.float32)
+            p = tmp_path / f"w{i}.wav"
+            write_wav(p, wav, 16000)
+            lines.append(json.dumps(
+                {"key": f"u{i}", "wav": str(p), "txt": "AB"}))
+        (tmp_path / "data.list").write_text("\n".join(lines))
+        syms = {"<blank>": 0, "A": 1, "B": 2, "<sos/eos>": 3}
+        base_conf = {
+            "filter": False, "shuffle": False, "sort": False,
+            "fbank_conf": {"num_mel_bins": 23},
+            "batch_conf": {"batch_type": "static", "batch_size": 3},
+        }
+        serial = list(iter(Dataset("raw", str(tmp_path / "data.list"),
+                                   syms, dict(base_conf, prefetch=0))))
+        par = list(iter(Dataset("raw", str(tmp_path / "data.list"),
+                                syms, dict(base_conf, num_workers=4,
+                                           prefetch=2))))
+        assert len(serial) == len(par) == 2
+        for a, b in zip(serial, par):
+            assert a["keys"] == b["keys"]
+            np.testing.assert_array_equal(a["feats"], b["feats"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])

@@ -65,8 +65,18 @@ class Dataset:
             data = processor.resample(data, **conf.get("resample_conf", {}))
         if conf.get("speed_perturb", False):
             data = processor.speed_perturb(data, rng=rng)
-        data = processor.compute_fbank(
-            data, np_rng=np_rng, **conf.get("fbank_conf", {}))
+        fbank_conf = conf.get("fbank_conf", {})
+        num_workers = conf.get("num_workers", 0)
+        if num_workers > 0 and fbank_conf.get("dither", 0.0) == 0.0:
+            # Ordered thread map (fbank's FFT/BLAS release the GIL);
+            # dithering needs the shared rng stream, so it stays serial.
+            from functools import partial
+            data = processor.parallel_map(
+                data, partial(processor.fbank_one, **fbank_conf),
+                num_workers=num_workers)
+        else:
+            data = processor.compute_fbank(data, np_rng=np_rng,
+                                           **fbank_conf)
         if conf.get("spec_aug", False):
             data = processor.spec_aug(data, rng=rng,
                                       **conf.get("spec_aug_conf", {}))
@@ -94,4 +104,9 @@ class Dataset:
             context_mode=conf.get("context_mode", 0),
             context_conf=pad_conf or None,
             num_labels=conf.get("num_labels", 2))
+        n_prefetch = conf.get("prefetch", 2)
+        if n_prefetch > 0:
+            # Overlap the whole host pipeline with device compute
+            # (reference: DataLoader prefetch_factor, train.py).
+            data = processor.prefetch(data, n_prefetch)
         return data

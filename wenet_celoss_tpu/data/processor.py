@@ -187,13 +187,8 @@ def compute_fbank(data: Iterable[Dict], num_mel_bins: int = 23,
                   np_rng: Optional[np.random.Generator] = None
                   ) -> Iterator[Dict]:
     for sample in data:
-        cfg = FbankConfig(sample_rate=sample["sample_rate"],
-                          num_mel_bins=num_mel_bins,
-                          frame_length_ms=frame_length,
-                          frame_shift_ms=frame_shift, dither=dither)
-        sample["feat"] = compute_fbank_np(
-            sample["wav"], cfg, np_rng if dither > 0 else None)
-        yield sample
+        yield fbank_one(sample, num_mel_bins, frame_length, frame_shift,
+                        dither, np_rng)
 
 
 def spec_aug(data: Iterable[Dict], num_t_mask: int = 2, num_f_mask: int = 2,
@@ -475,3 +470,69 @@ def padding(data: Iterable[List[Dict]], *,
                        context_n_valid=np.int32(len(ctx)),
                        hw_labels=hw_pad, context_decoder_labels=dec_pad)
         yield out
+
+
+def parallel_map(data: Iterable[Dict], fn, num_workers: int = 4,
+                 lookahead: int = 16) -> Iterator[Dict]:
+    """Order-preserving thread-pool map over a 1:1 pipeline stage.
+
+    The reference parallelizes the whole chain with DataLoader worker
+    subprocesses (`wenet/bin/train.py` DataLoader num_workers/
+    prefetch_factor); here the expensive numeric stages (fbank: FFT +
+    mel matmul) release the GIL in numpy, so an in-process thread pool
+    gives real speedup without pickling/subprocess costs.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+    with ThreadPoolExecutor(num_workers) as ex:
+        pending: deque = deque()
+        for item in data:
+            pending.append(ex.submit(fn, item))
+            if len(pending) >= lookahead:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
+def fbank_one(sample: Dict, num_mel_bins: int = 23, frame_length: int = 25,
+              frame_shift: int = 10, dither: float = 0.0,
+              np_rng: Optional[np.random.Generator] = None) -> Dict:
+    """Single-sample fbank (the body of compute_fbank, exposed for
+    parallel_map)."""
+    cfg = FbankConfig(sample_rate=sample["sample_rate"],
+                      num_mel_bins=num_mel_bins,
+                      frame_length_ms=frame_length,
+                      frame_shift_ms=frame_shift, dither=dither)
+    sample["feat"] = compute_fbank_np(
+        sample["wav"], cfg, np_rng if dither > 0 else None)
+    return sample
+
+
+def prefetch(data: Iterable, buffer_size: int = 2) -> Iterator:
+    """Background-thread prefetch with a bounded queue: overlaps host-side
+    pipeline work (IO, fbank, padding) with device compute. Exceptions in
+    the producer re-raise in the consumer."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(buffer_size, 1))
+    END = object()
+
+    def producer():
+        try:
+            for item in data:
+                q.put((True, item))
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put((False, e))
+            return
+        q.put((True, END))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        ok, item = q.get()
+        if not ok:
+            raise item
+        if item is END:
+            return
+        yield item
