@@ -564,3 +564,158 @@ def test_serving_wfst_decode(runtime_build, tmp_path):
     hyp = line.split(maxsplit=1)[1] if " " in line else ""
     # post-processor lowercases (reference post_processor.cc behavior)
     assert hyp.strip().lower() == "ba c", res.stdout + res.stderr
+
+
+# ---------------------------------------------------------------------------
+# RPC server (gRPC-surface equivalent over protobuf/TCP frames)
+# ---------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _read_varint(buf: bytes, i: int):
+    val, shift = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _rpc_request_config(nbest: int = 1, continuous: bool = False) -> bytes:
+    inner = b"\x08" + _varint(nbest)
+    if continuous:
+        inner += b"\x10\x01"
+    return b"\x0a" + _varint(len(inner)) + inner
+
+
+def _rpc_request_audio(pcm: bytes) -> bytes:
+    return b"\x12" + _varint(len(pcm)) + pcm
+
+
+def _rpc_parse_response(buf: bytes):
+    """Minimal proto3 wire parse of Response: {status, type, [sentences]}."""
+    status = rtype = 0
+    sentences = []
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, i = _read_varint(buf, i)
+            if field == 1:
+                status = val
+            elif field == 2:
+                rtype = val
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            sub = buf[i:i + ln]
+            i += ln
+            if field == 3:  # OneBest
+                j = 0
+                while j < len(sub):
+                    t2, j = _read_varint(sub, j)
+                    f2, w2 = t2 >> 3, t2 & 7
+                    if w2 == 2:
+                        l2, j = _read_varint(sub, j)
+                        if f2 == 1:
+                            sentences.append(sub[j:j + l2].decode())
+                        j += l2
+                    else:
+                        _, j = _read_varint(sub, j)
+        else:
+            raise ValueError(f"wire type {wt}")
+    return status, rtype, sentences
+
+
+def _rpc_send_frame(sock, payload: bytes):
+    sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+def _rpc_recv_frame(sock) -> bytes:
+    hdr = b""
+    while len(hdr) < 4:
+        chunk = sock.recv(4 - len(hdr))
+        assert chunk, "connection closed"
+        hdr += chunk
+    (ln,) = struct.unpack(">I", hdr)
+    buf = b""
+    while len(buf) < ln:
+        chunk = sock.recv(ln - len(buf))
+        assert chunk, "connection closed mid-frame"
+        buf += chunk
+    return buf
+
+
+@pytest.mark.slow
+def test_rpc_server_end_to_end(runtime_build, tmp_path):
+    """rpc_server_main: protobuf-framed streaming recognition (the gRPC
+    serving surface) — config frame, PCM streaming, partial/final results,
+    speech_end."""
+    import socket
+    import time
+    if not os.path.exists(os.path.join(runtime_build, "rpc_server_main")):
+        pytest.skip("protobuf not available; rpc server not built")
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    port = 19523
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [os.path.join(runtime_build, "rpc_server_main"),
+         "--port", str(port), "--symbol_table", str(model_dir / "units.txt"),
+         "--worker_cmd", worker_cmd, "--chunk_size", str(chunk),
+         "--num_bins", str(mel), "--max_connections", "1"],
+        env=env, stderr=subprocess.PIPE)
+    try:
+        sock = None
+        for _ in range(120):
+            try:
+                sock = socket.create_connection(("127.0.0.1", port),
+                                                timeout=5)
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert sock is not None, "server never came up"
+        sock.settimeout(120)
+
+        from wenet_celoss_tpu.data.wav import read_wav
+        wav, sr = read_wav(str(wav_path))
+        pcm = np.asarray(wav, np.int16).tobytes()
+
+        _rpc_send_frame(sock, _rpc_request_config(nbest=1))
+        status, rtype, _ = _rpc_parse_response(_rpc_recv_frame(sock))
+        assert (status, rtype) == (0, 0)  # ok, server_ready
+
+        for i in range(0, len(pcm), 6400):
+            _rpc_send_frame(sock, _rpc_request_audio(pcm[i:i + 6400]))
+        _rpc_send_frame(sock, _rpc_request_audio(b""))  # end of input
+
+        finals, done = [], False
+        while not done:
+            status, rtype, sentences = \
+                _rpc_parse_response(_rpc_recv_frame(sock))
+            assert status == 0
+            if rtype == 2:
+                finals.append(sentences)
+            elif rtype == 3:
+                done = True
+        assert finals and finals[-1], finals
+        assert expected.lower().replace(" ", "") in \
+            finals[-1][0].replace(" ", "").lower(), finals
+        sock.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
