@@ -18,7 +18,8 @@ namespace wenet_tpu {
 
 class Recognizer {
  public:
-  explicit Recognizer(const std::string& model_dir) {
+  explicit Recognizer(const std::string& model_dir)
+      : num_bins_(ReadNumBins(model_dir)) {
     symbol_table_ =
         std::make_shared<std::unordered_map<int, std::string>>();
     {
@@ -74,9 +75,25 @@ class Recognizer {
       resource_->context_graph = graph;
     }
     feature_pipeline_ = std::make_shared<FeaturePipeline>(
-        FeaturePipelineConfig(80, 16000));
+        FeaturePipelineConfig(num_bins_, 16000));
     opts_.chunk_size = chunk_size_;
     decoder_.reset(new AsrDecoder(feature_pipeline_, resource_, opts_));
+  }
+
+  // Mel-bin count from the model dir's train.yaml (the training CLI
+  // always serializes dataset_conf.fbank_conf.num_mel_bins); default 80
+  // (reference wenet_api.cc hardcodes 80 — here the model dir is the
+  // contract).
+  static int ReadNumBins(const std::string& model_dir) {
+    std::ifstream in(model_dir + "/train.yaml");
+    std::string line;
+    while (std::getline(in, line)) {
+      size_t pos = line.find("num_mel_bins:");
+      if (pos != std::string::npos) {
+        return std::atoi(line.c_str() + pos + strlen("num_mel_bins:"));
+      }
+    }
+    return 80;
   }
 
   // Greedy longest-match word-piece tokenization against the symbol table
@@ -173,6 +190,7 @@ class Recognizer {
   float context_score_ = 3.0f;
   bool continuous_decoding_ = false;
   int chunk_size_ = 16;
+  int num_bins_ = 80;
 
  private:
   std::shared_ptr<std::unordered_map<int, std::string>> symbol_table_;
