@@ -147,7 +147,10 @@ class Recognizer {
         }
       } else {
         UpdateResult(false);
-        break;
+        // More buffered chunks remain (kEndBatch): with input finished we
+        // must drain them to reach kEndFeats; mid-stream we return the
+        // partial result to the caller.
+        if (!last) break;
       }
     }
   }

@@ -181,9 +181,7 @@ def test_c_api_binding(runtime_build, tmp_path):
 
     model_dir, wav_path, expected, chunk, mel = \
         _train_tiny_streaming_model(tmp_path)
-    # NOTE: the C API's feature pipeline is fixed at 80 bins; use the
-    # worker's own config only if bins match. Here we exercise init/decode
-    # plumbing with the tiny 23-bin model via worker_cmd.txt.
+    # The C API reads the mel-bin count from the model dir's train.yaml.
     with open(model_dir / "worker_cmd.txt", "w") as f:
         f.write(f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
                 f"--config {model_dir}/train.yaml "
@@ -195,6 +193,9 @@ def test_c_api_binding(runtime_build, tmp_path):
                                         "libwenet_tpu_api.so"),
                   chunk_size=chunk)
     assert dec._handle
+    result = dec.decode_wav(str(wav_path))
+    sentence = result["nbest"][0]["sentence"]
+    assert expected.lower() in sentence.replace(" ", "").lower(), result
 
 
 def _train_tiny_streaming_transducer(tmp_path):
