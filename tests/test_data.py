@@ -65,6 +65,40 @@ class TestFbank:
         interior = m.sum(axis=0)[20:200]
         assert (interior > 0.5).all() and (interior < 1.5).all()
 
+    def test_mfcc_np_jax_parity_and_dct_inverse(self):
+        from wenet_celoss_tpu.ops.fbank import (
+            MfccConfig, compute_mfcc, compute_mfcc_np)
+        rng = np.random.default_rng(3)
+        wav = (rng.standard_normal(8000) * 8000).astype(np.float32)
+        cfg = MfccConfig(num_mel_bins=23, num_ceps=13)
+        np_feat = compute_mfcc_np(wav, cfg)
+        assert np_feat.shape[1] == 13
+        jax_feat, jax_len = compute_mfcc(jnp.asarray(wav), cfg=cfg)
+        assert int(jax_len) == np_feat.shape[0]
+        np.testing.assert_allclose(np.asarray(jax_feat), np_feat,
+                                   rtol=1e-3, atol=1e-3)
+        # Full-rank orthonormal DCT with no lifter reconstructs log-mel
+        # energy (Parseval): ||ceps||^2 == ||logmel||^2 per frame.
+        full = MfccConfig(num_mel_bins=23, num_ceps=23, cepstral_lifter=0.0)
+        ceps = compute_mfcc_np(wav, full)
+        logmel = compute_fbank_np(wav, full)
+        np.testing.assert_allclose((ceps ** 2).sum(1), (logmel ** 2).sum(1),
+                                   rtol=1e-4)
+
+    def test_mfcc_in_dataset_pipeline(self, tmp_path):
+        wav_path = tmp_path / "u.wav"
+        write_wav(wav_path, np.zeros(4000, np.float32) + 100.0, 16000)
+        lst = tmp_path / "data.list"
+        lst.write_text(json.dumps(
+            {"key": "u", "wav": str(wav_path), "txt": "a"}) + "\n")
+        ds = Dataset("raw", str(lst), {"a": 1, "<blank>": 0},
+                     {"feats_type": "mfcc",
+                      "mfcc_conf": {"num_mel_bins": 23, "num_ceps": 13},
+                      "filter": False, "shuffle": False, "sort": False,
+                      "batch_conf": {"batch_size": 1}, "prefetch": 0})
+        batch = next(iter(ds))
+        assert batch["feats"].shape[-1] == 13
+
     def test_tone_peaks_at_right_mel_bin(self):
         # A 1kHz tone should put its max energy near the mel bin whose
         # center is 1kHz.

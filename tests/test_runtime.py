@@ -720,3 +720,87 @@ def test_rpc_server_end_to_end(runtime_build, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+# ---------------------------------------------------------------------------
+# Client CLI tools (tools/websocket_client.py, tools/rpc_client.py)
+# ---------------------------------------------------------------------------
+
+
+def _start_server(runtime_build, binary, model_dir, chunk, mel, port):
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    return subprocess.Popen(
+        [os.path.join(runtime_build, binary),
+         "--port", str(port), "--symbol_table", str(model_dir / "units.txt"),
+         "--worker_cmd", worker_cmd, "--chunk_size", str(chunk),
+         "--num_bins", str(mel), "--max_connections", "2"],
+        env=env, stderr=subprocess.PIPE)
+
+
+def _wait_port(port, timeout_s=60):
+    import socket
+    import time
+    for _ in range(int(timeout_s / 0.5)):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=1).close()
+            return
+        except OSError:
+            time.sleep(0.5)
+    raise RuntimeError("server never came up")
+
+
+@pytest.mark.slow
+def test_websocket_client_tool(runtime_build, tmp_path):
+    """tools/websocket_client.py end-to-end against websocket_server_main
+    (parity surface: reference websocket_client_main + performance-ws.py)."""
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    port = 19100 + (os.getpid() % 800)
+    proc = _start_server(runtime_build, "websocket_server_main",
+                         model_dir, chunk, mel, port)
+    try:
+        _wait_port(port)
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "websocket_client.py"),
+             "--port", str(port), "--wav_path", str(wav_path)],
+            capture_output=True, text=True, timeout=300,
+            env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO))
+        assert res.returncode == 0, res.stderr
+        assert expected.lower().replace(" ", "") in \
+            res.stdout.replace(" ", "").lower(), res.stdout
+        assert "RTF=" in res.stdout
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+@pytest.mark.slow
+def test_rpc_client_tool(runtime_build, tmp_path):
+    """tools/rpc_client.py end-to-end against rpc_server_main (parity
+    surface: reference grpc_client_main)."""
+    if not os.path.exists(os.path.join(runtime_build, "rpc_server_main")):
+        pytest.skip("protobuf not available; rpc server not built")
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_model(tmp_path)
+    port = 19950 + (os.getpid() % 40)
+    proc = _start_server(runtime_build, "rpc_server_main",
+                         model_dir, chunk, mel, port)
+    try:
+        _wait_port(port)
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "rpc_client.py"),
+             "--port", str(port), "--wav_path", str(wav_path)],
+            capture_output=True, text=True, timeout=300,
+            env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO))
+        assert res.returncode == 0, res.stderr
+        assert "server_ready" in res.stdout
+        assert expected.lower().replace(" ", "") in \
+            res.stdout.replace(" ", "").lower(), res.stdout
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

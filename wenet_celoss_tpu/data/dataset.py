@@ -65,18 +65,21 @@ class Dataset:
             data = processor.resample(data, **conf.get("resample_conf", {}))
         if conf.get("speed_perturb", False):
             data = processor.speed_perturb(data, rng=rng)
-        fbank_conf = conf.get("fbank_conf", {})
+        feats_type = conf.get("feats_type", "fbank")
+        feat_conf = conf.get(f"{feats_type}_conf", {})
+        feat_one = {"fbank": processor.fbank_one,
+                    "mfcc": processor.mfcc_one}[feats_type]
         num_workers = conf.get("num_workers", 0)
-        if num_workers > 0 and fbank_conf.get("dither", 0.0) == 0.0:
+        if num_workers > 0 and feat_conf.get("dither", 0.0) == 0.0:
             # Ordered thread map (fbank's FFT/BLAS release the GIL);
             # dithering needs the shared rng stream, so it stays serial.
             from functools import partial
             data = processor.parallel_map(
-                data, partial(processor.fbank_one, **fbank_conf),
+                data, partial(feat_one, **feat_conf),
                 num_workers=num_workers)
         else:
-            data = processor.compute_fbank(data, np_rng=np_rng,
-                                           **fbank_conf)
+            data = (sample for sample in map(
+                lambda s: feat_one(s, np_rng=np_rng, **feat_conf), data))
         if conf.get("spec_aug", False):
             data = processor.spec_aug(data, rng=rng,
                                       **conf.get("spec_aug_conf", {}))

@@ -508,6 +508,30 @@ def fbank_one(sample: Dict, num_mel_bins: int = 23, frame_length: int = 25,
     return sample
 
 
+def mfcc_one(sample: Dict, num_mel_bins: int = 23, frame_length: int = 25,
+             frame_shift: int = 10, dither: float = 0.0, num_ceps: int = 40,
+             high_freq: float = 0.0, low_freq: float = 20.0,
+             np_rng: Optional[np.random.Generator] = None) -> Dict:
+    """Single-sample kaldi MFCC (reference `processor.py:288-324`)."""
+    from wenet_celoss_tpu.ops.fbank import MfccConfig, compute_mfcc_np
+    cfg = MfccConfig(sample_rate=sample["sample_rate"],
+                     num_mel_bins=num_mel_bins,
+                     frame_length_ms=frame_length,
+                     frame_shift_ms=frame_shift, dither=dither,
+                     num_ceps=num_ceps, high_freq=high_freq,
+                     low_freq=low_freq)
+    sample["feat"] = compute_mfcc_np(
+        sample["wav"], cfg, np_rng if dither > 0 else None)
+    return sample
+
+
+def compute_mfcc(data: Iterable[Dict],
+                 np_rng: Optional[np.random.Generator] = None,
+                 **kwargs) -> Iterator[Dict]:
+    for sample in data:
+        yield mfcc_one(sample, np_rng=np_rng, **kwargs)
+
+
 def prefetch(data: Iterable, buffer_size: int = 2) -> Iterator:
     """Background-thread prefetch with a bounded queue: overlaps host-side
     pipeline work (IO, fbank, padding) with device compute. Exceptions in

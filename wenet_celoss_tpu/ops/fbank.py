@@ -175,6 +175,59 @@ def compute_fbank_np(wav: np.ndarray, cfg: FbankConfig = FbankConfig(),
         np.float32)
 
 
+@dataclass(frozen=True)
+class MfccConfig(FbankConfig):
+    """Kaldi MFCC on top of the mel chain (reference training-side op
+    `wenet/dataset/processor.py:288-324` via torchaudio kaldi.mfcc).
+
+    MFCC = DCT-II of the log-mel energies, keeping ``num_ceps``
+    coefficients, then cepstral liftering. torchaudio's kaldi.mfcc
+    defaults to use_energy=False (c0 is the DCT coefficient, not log
+    energy), which is what the reference uses; we match that.
+    """
+    num_ceps: int = 13
+    cepstral_lifter: float = 22.0
+
+
+def _dct_matrix(num_ceps: int, num_bins: int) -> np.ndarray:
+    """Kaldi-style (orthonormal) DCT-II matrix [num_ceps, num_bins]."""
+    n = np.arange(num_bins)
+    mat = np.zeros((num_ceps, num_bins), dtype=np.float64)
+    mat[0] = math.sqrt(1.0 / num_bins)
+    for k in range(1, num_ceps):
+        mat[k] = math.sqrt(2.0 / num_bins) * np.cos(
+            math.pi / num_bins * (n + 0.5) * k)
+    return mat.astype(np.float32)
+
+
+def _lifter(cfg: MfccConfig) -> np.ndarray:
+    if cfg.cepstral_lifter == 0.0:
+        return np.ones(cfg.num_ceps, np.float32)
+    i = np.arange(cfg.num_ceps)
+    return (1.0 + 0.5 * cfg.cepstral_lifter * np.sin(
+        math.pi * i / cfg.cepstral_lifter)).astype(np.float32)
+
+
+def compute_mfcc_np(wav: np.ndarray, cfg: MfccConfig = MfccConfig(),
+                    rng: np.random.Generator | None = None) -> np.ndarray:
+    """Host-side MFCC: log-mel (shared chain) → DCT → lifter. [S] → [T, C]."""
+    logmel = compute_fbank_np(wav, cfg, rng)
+    ceps = logmel @ _dct_matrix(cfg.num_ceps, cfg.num_mel_bins).T
+    return (ceps * _lifter(cfg)).astype(np.float32)
+
+
+def compute_mfcc(wav: jnp.ndarray, lengths: jnp.ndarray | None = None,
+                 cfg: MfccConfig = MfccConfig(),
+                 dither_key: jax.Array | None = None):
+    """Batched jit-able MFCC. Same I/O contract as :func:`compute_fbank`
+    with M = cfg.num_ceps output coefficients."""
+    feats, feat_lens = compute_fbank(wav, lengths, cfg, dither_key)
+    dct = jnp.asarray(_dct_matrix(cfg.num_ceps, cfg.num_mel_bins))
+    ceps = jnp.einsum("...tm,cm->...tc", feats, dct) * jnp.asarray(
+        _lifter(cfg))
+    return ceps, feat_lens
+
+
 def compute_fbank(wav: jnp.ndarray, lengths: jnp.ndarray | None = None,
                   cfg: FbankConfig = FbankConfig(),
                   dither_key: jax.Array | None = None):
