@@ -170,3 +170,151 @@ class TestPipelineParallelism:
             assert a["keys"] == b["keys"]
             np.testing.assert_array_equal(a["feats"], b["feats"])
             np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+class TestDataDirTool:
+    """tools/data_dir.py — kaldi-style data-dir utilities (reference
+    tools/fix_data_dir.sh, subset_data_dir.sh, combine_data.sh,
+    perturb_data_dir_speed.sh, filter_scp.pl, utt2spk_to_spk2utt.pl)."""
+
+    def _make_dir(self, root, n=6, spk_every=2):
+        import os
+        os.makedirs(root, exist_ok=True)
+        with open(root / "wav.scp", "w") as w, \
+                open(root / "text", "w") as t, \
+                open(root / "utt2spk", "w") as u:
+            for i in range(n):
+                w.write(f"utt{i} /path/{i}.wav\n")
+                t.write(f"utt{i} hello {i}\n")
+                u.write(f"utt{i} spk{i // spk_every}\n")
+        return root
+
+    def _run(self, *args):
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "data_dir.py")]
+            + [str(a) for a in args],
+            capture_output=True, text=True)
+
+    def test_validate_fix(self, tmp_path):
+        d = self._make_dir(tmp_path / "d")
+        assert self._run("validate", d).returncode == 0
+        # Break consistency: drop one utt from text only.
+        lines = (d / "text").read_text().splitlines()
+        (d / "text").write_text("\n".join(lines[:-1]) + "\n")
+        assert self._run("validate", d).returncode == 1
+        assert self._run("fix", d).returncode == 0
+        assert self._run("validate", d).returncode == 0
+        assert len((d / "wav.scp").read_text().splitlines()) == 5
+        assert (d / "spk2utt").exists()
+
+    def test_subset_and_combine(self, tmp_path):
+        d = self._make_dir(tmp_path / "d")
+        r = self._run("subset", d, tmp_path / "s1", "--num", 2, "--first")
+        assert r.returncode == 0, r.stderr
+        assert len((tmp_path / "s1" / "text").read_text().splitlines()) == 2
+        # spk subset
+        (tmp_path / "spks").write_text("spk0\n")
+        self._run("subset", d, tmp_path / "s2",
+                  "--spk-list", tmp_path / "spks")
+        utts = [ln.split()[0] for ln in
+                (tmp_path / "s2" / "utt2spk").read_text().splitlines()]
+        assert utts == ["utt0", "utt1"]
+        r = self._run("combine", tmp_path / "c", tmp_path / "s1",
+                      tmp_path / "s2")
+        assert r.returncode == 0, r.stderr
+        assert self._run("validate", tmp_path / "c").returncode == 0
+
+    def test_filter_scp_and_spk_maps(self, tmp_path):
+        d = self._make_dir(tmp_path / "d")
+        (tmp_path / "ids").write_text("utt1\nutt3\n")
+        r = self._run("filter-scp", tmp_path / "ids", d / "wav.scp")
+        assert [ln.split()[0] for ln in r.stdout.splitlines()] == \
+            ["utt1", "utt3"]
+        r = self._run("filter-scp", "--exclude", tmp_path / "ids",
+                      d / "wav.scp")
+        assert len(r.stdout.splitlines()) == 4
+        self._run("spk2utt-to-utt2spk", d)
+        assert self._run("validate", d).returncode == 0
+
+    def test_remove_dup_utts(self, tmp_path):
+        d = self._make_dir(tmp_path / "d")
+        (d / "text").write_text(
+            "".join(f"utt{i} same words\n" for i in range(6)))
+        self._run("remove-dup-utts", d, "--max-count", 2)
+        assert len((d / "text").read_text().splitlines()) == 2
+        assert self._run("validate", d).returncode == 0
+
+    def test_perturb_speed_end_to_end(self, tmp_path):
+        """perturb-speed dir → make_raw_list → Dataset loads a
+        speed-changed waveform of the right length."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from wenet_celoss_tpu.data.dataset import Dataset
+        from wenet_celoss_tpu.data.wav import write_wav
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = tmp_path / "d"
+        os.makedirs(d)
+        wav_path = tmp_path / "a.wav"
+        write_wav(wav_path, np.zeros(16000, np.float32) + 50.0, 16000)
+        (d / "wav.scp").write_text(f"utt0 {wav_path}\n")
+        (d / "text").write_text("utt0 a\n")
+        r = self._run("perturb-speed", d, tmp_path / "sp", "--speed", 0.9)
+        assert r.returncode == 0, r.stderr
+        sp = tmp_path / "sp"
+        assert "sp0.9-utt0" in (sp / "wav.scp").read_text()
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_raw_list.py"),
+             str(sp / "wav.scp"), str(sp / "text"),
+             str(tmp_path / "data.list")], check=True)
+        obj = json.loads((tmp_path / "data.list").read_text())
+        assert obj["speed"] == 0.9 and obj["key"] == "sp0.9-utt0"
+        ds = Dataset("raw", str(tmp_path / "data.list"),
+                     {"a": 1, "<blank>": 0},
+                     {"filter": False, "shuffle": False, "sort": False,
+                      "fbank_conf": {"num_mel_bins": 23},
+                      "batch_conf": {"batch_size": 1}, "prefetch": 0})
+        batch = next(iter(ds))
+        # 0.9x speed → 1/0.9 ≈ 1.111x samples → more frames than 1.0x.
+        assert int(batch["feat_lengths"][0]) > 98
+
+    def test_segments_in_make_raw_list(self, tmp_path):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from wenet_celoss_tpu.data import processor
+        from wenet_celoss_tpu.data.wav import write_wav
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        wav_path = tmp_path / "rec.wav"
+        write_wav(wav_path, np.arange(16000, dtype=np.float32) % 100, 16000)
+        (tmp_path / "wav.scp").write_text(f"rec0 {wav_path}\n")
+        (tmp_path / "text").write_text("seg0 a\nseg1 a\n")
+        (tmp_path / "segments").write_text(
+            "seg0 rec0 0.0 0.25\nseg1 rec0 0.25 1.0\n")
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_raw_list.py"),
+             str(tmp_path / "wav.scp"), str(tmp_path / "text"),
+             str(tmp_path / "data.list"),
+             "--segments", str(tmp_path / "segments")], check=True)
+        lines = (tmp_path / "data.list").read_text().splitlines()
+        assert len(lines) == 2
+        objs = [json.loads(ln) for ln in lines]
+        samples = list(processor.parse_raw(
+            iter([{"src": ln} for ln in lines])))
+        assert len(samples[0]["wav"]) == 4000
+        assert len(samples[1]["wav"]) == 12000
+        assert objs[0]["start"] == 0.0 and objs[1]["end"] == 1.0

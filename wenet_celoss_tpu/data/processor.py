@@ -105,13 +105,23 @@ def tar_file_and_group(data: Iterable[Dict]) -> Iterator[Dict]:
 
 
 def parse_raw(data: Iterable[Dict]) -> Iterator[Dict]:
-    """jsonl {key, wav, txt} lines → loaded samples (reference :115-153)."""
+    """jsonl {key, wav, txt[, start, end, speed]} lines → loaded samples
+    (reference :115-153; start/end come from kaldi segments files, speed
+    from the perturb_speed data-dir tool)."""
     for sample in data:
         obj = json.loads(sample["src"])
         try:
             wav, sr = read_wav(obj["wav"])
             if wav.ndim > 1:
                 wav = wav.mean(axis=1)
+            if "start" in obj or "end" in obj:
+                start = int(float(obj.get("start", 0)) * sr)
+                end = int(float(obj["end"]) * sr) if "end" in obj \
+                    else len(wav)
+                wav = wav[max(start, 0):end]
+            speed = float(obj.get("speed", 1.0))
+            if speed != 1.0:
+                wav = _linear_resample(wav, sr * speed, sr)
             yield dict(key=obj["key"], txt=obj["txt"], wav=wav,
                        sample_rate=sr)
         except Exception:
