@@ -198,6 +198,84 @@ class TestRnntLossFused:
                                    rtol=1e-3, atol=1e-5)
 
 
+class TestRnntLossStreaming:
+    """Streaming-V loss (joint applied in T-chunks, [B,T,U,V] never
+    materialized) vs the materialized scan implementation."""
+
+    def _setup(self, seed=21, b=3, t=11, u=4, h=5, v=6):
+        from wenet_celoss_tpu.utils.common import get_activation
+        rng = np.random.default_rng(seed)
+        enc_j = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+        pred_j = jnp.asarray(rng.standard_normal((b, u + 1, h)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((h, v)) * 0.5, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((v,)) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens = jnp.array([11, 7, 4])
+        llens = jnp.array([4, 3, 0])
+        act = get_activation("tanh")
+        logits = (jnp.einsum(
+            "btuh,hv->btuv",
+            act(enc_j[:, :, None, :] + pred_j[:, None, :, :]), w) + bias)
+        return enc_j, pred_j, w, bias, labels, ilens, llens, logits
+
+    @pytest.mark.parametrize("chunk", [1, 4, 16])
+    def test_loss_matches_materialized(self, chunk):
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_streaming
+        enc_j, pred_j, w, bias, labels, ilens, llens, logits = self._setup()
+        l_ref = rnnt_loss(logits, labels, ilens, llens)
+        l_str = rnnt_loss_streaming(enc_j, pred_j, w, bias, labels,
+                                    ilens, llens, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(l_str), np.asarray(l_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_materialized(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_streaming
+        enc_j, pred_j, w, bias, labels, ilens, llens, _ = self._setup()
+        weights = jnp.array([0.7, 1.3, 0.2])
+
+        def loss_streaming(e, p, w_, b_):
+            return jnp.sum(weights * rnnt_loss_streaming(
+                e, p, w_, b_, labels, ilens, llens, chunk=4))
+
+        def loss_materialized(e, p, w_, b_):
+            act = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+            logits = jnp.einsum("btuh,hv->btuv", act, w_) + b_
+            return jnp.sum(weights * rnnt_loss(logits, labels, ilens, llens))
+
+        g_s = jax.grad(loss_streaming, argnums=(0, 1, 2, 3))(
+            enc_j, pred_j, w, bias)
+        g_m = jax.grad(loss_materialized, argnums=(0, 1, 2, 3))(
+            enc_j, pred_j, w, bias)
+        for a, b_ in zip(g_s, g_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_planes_vjp_matches_autodiff(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import (
+            _alpha_scan, _gather_planes, rnnt_loss_planes)
+        rng = np.random.default_rng(22)
+        b, t, u, v = 2, 6, 3, 5
+        logits = jnp.asarray(rng.standard_normal((b, t, u + 1, v)),
+                             jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens, llens = jnp.array([6, 4]), jnp.array([3, 2])
+        blank_lp, emit_lp = _gather_planes(logits, labels, 0)
+
+        def autodiff_loss(bl, em):
+            alpha = _alpha_scan(bl, em)
+            t_lastv = jnp.maximum(ilens - 1, 0)
+            a_final = alpha[jnp.arange(b), t_lastv, llens]
+            lp_final = bl[jnp.arange(b), t_lastv, llens]
+            return jnp.sum(-(a_final + lp_final))
+
+        g_ref = jax.grad(autodiff_loss, argnums=(0, 1))(blank_lp, emit_lp)
+        g_cf = jax.grad(lambda bl, em: jnp.sum(rnnt_loss_planes(
+            bl, em, ilens, llens)), argnums=(0, 1))(blank_lp, emit_lp)
+        for a, b_ in zip(g_cf, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-5)
+
+
 class TestRnntLossPallas:
     """Pallas lattice kernel vs the scan implementation (interpret mode on
     CPU; the same kernel is validated on TPU hardware by bench runs)."""

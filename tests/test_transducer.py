@@ -185,3 +185,39 @@ class TestPrunedTransducer:
                 first = float(loss)
         assert np.isfinite(float(loss))
         assert float(loss) < first, (first, float(loss))
+
+
+class TestStreamingLossTransducer:
+    def test_streaming_impl_matches_scan_loss(self):
+        """rnnt_impl='streaming' is numerically the SAME loss as 'scan'
+        (exact, not approximated) — same params, same batch, same value
+        and gradients."""
+        rng = np.random.default_rng(17)
+        cfg = transducer_configs("rnn")
+        model_scan = init_model(cfg)
+        cfg2 = transducer_configs("rnn")
+        cfg2["model_conf"]["rnnt_impl"] = "streaming"
+        cfg2["model_conf"]["streaming_chunk"] = 4
+        model_str = init_model(cfg2)
+
+        feats, feat_lens, text, text_lens = make_batch(rng)
+        params = model_scan.init(jax.random.PRNGKey(0), feats, feat_lens,
+                                 text, text_lens)
+        out_scan = model_scan.apply(params, feats, feat_lens, text,
+                                    text_lens)
+        out_str = model_str.apply(params, feats, feat_lens, text, text_lens)
+        np.testing.assert_allclose(float(out_str["loss_rnnt"]),
+                                   float(out_scan["loss_rnnt"]), rtol=1e-5)
+
+        g_scan = jax.grad(lambda p: model_scan.apply(
+            p, feats, feat_lens, text, text_lens)["loss"])(params)
+        g_str = jax.grad(lambda p: model_str.apply(
+            p, feats, feat_lens, text, text_lens)["loss"])(params)
+        flat_scan = jax.tree_util.tree_leaves_with_path(g_scan)
+        flat_str = {jax.tree_util.keystr(k): v for k, v in
+                    jax.tree_util.tree_leaves_with_path(g_str)}
+        for k, v in flat_scan:
+            np.testing.assert_allclose(
+                np.asarray(flat_str[jax.tree_util.keystr(k)]),
+                np.asarray(v), rtol=2e-3, atol=1e-5,
+                err_msg=jax.tree_util.keystr(k))

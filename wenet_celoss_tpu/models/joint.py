@@ -62,6 +62,24 @@ class TransducerJoint(nn.Module):
             pred_w = self.pred_ffn(pred_w)
         return self._combine(enc_out[:, :, None, :], pred_w)
 
+    def project(self, enc_out: jnp.ndarray, pred_out: jnp.ndarray):
+        """Pre-join projections only — feeds the streaming-V loss
+        (ops/rnnt_loss.rnnt_loss_streaming), which applies act + output
+        layer chunk-by-chunk so [B, T, U, V] never materializes."""
+        if self.prejoin_linear:
+            return self.enc_ffn(enc_out), self.pred_ffn(pred_out)
+        return enc_out, pred_out
+
+    def output_params(self):
+        """(kernel [H, V], bias [V]) of the output layer, for the
+        streaming loss. Touches ffn_out at init so the params exist."""
+        assert not self.postjoin_linear, \
+            "streaming loss supports prejoin add-joint only"
+        if self.is_initializing():
+            self.ffn_out(jnp.zeros((1, self.join_dim)))
+        params = self.ffn_out.variables["params"]
+        return params["kernel"], params["bias"]
+
     def single(self, enc_t: jnp.ndarray, pred_u: jnp.ndarray):
         """enc_t [B, E], pred_u [B, P] → logits [B, V] (decode hot path)."""
         if self.prejoin_linear:

@@ -53,8 +53,11 @@ class Transducer(ASRModel):
     # backward), "pallas" (single-kernel lattice + closed-form VJP),
     # "pruned" (k2-style: factored simple loss picks per-frame label
     # windows; the full joint runs only on [B,T,prune_range,V] — the
-    # large-vocab formulation, reference direction transducer_k2_loss.py).
+    # large-vocab formulation, reference direction transducer_k2_loss.py),
+    # "streaming" (exact loss; joint applied in T-chunks under remat so
+    # [B,T,U,V] never exists — see ops/rnnt_loss.rnnt_loss_streaming).
     rnnt_impl: str = "scan"
+    streaming_chunk: int = 16
     prune_range: int = 5
     simple_loss_scale: float = 0.5
     # Back-compat alias for rnnt_impl="fused".
@@ -123,6 +126,15 @@ class Transducer(ASRModel):
             from wenet_celoss_tpu.ops.rnnt_pallas import rnnt_loss_pallas
             losses = rnnt_loss_pallas(joint_out, rnnt_text, encoder_lens,
                                       text_lengths, self.blank)
+        elif impl == "streaming":
+            from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_streaming
+            enc_j, pred_j = self.joint.project(encoder_out, predictor_out)
+            w_out, b_out = self.joint.output_params()
+            losses = rnnt_loss_streaming(
+                enc_j, pred_j, w_out, b_out, rnnt_text, encoder_lens,
+                text_lengths, self.blank,
+                activation=self.joint.activation,
+                chunk=self.streaming_chunk)
         elif impl == "fused":
             joint_out = self.joint(encoder_out, predictor_out)
             losses = rnnt_loss_fused(joint_out, rnnt_text, encoder_lens,

@@ -213,6 +213,142 @@ def _rnnt_fused_bwd(blank, res, g):
 rnnt_loss_fused.defvjp(_rnnt_fused_fwd, _rnnt_fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Streaming-V loss: the [B, T, U+1, V] joint is NEVER materialized.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def rnnt_loss_planes(blank_lp, emit_lp, input_lengths, label_lengths):
+    """Transducer loss given the two [B, T, U+1] log-prob planes.
+
+    Closed-form VJP: dL/d blank_lp = -occ_b, dL/d emit_lp = -occ_e
+    (transition occupancies from the alpha/beta recursions). Used by
+    :func:`rnnt_loss_streaming`, where upstream autodiff carries the plane
+    gradients back through a rematerialized chunked joint."""
+    alpha = _alpha_scan(blank_lp, emit_lp)
+    b = blank_lp.shape[0]
+    t_lastv = jnp.maximum(input_lengths - 1, 0)
+    a_final = alpha[jnp.arange(b), t_lastv, label_lengths]
+    lp_final = blank_lp[jnp.arange(b), t_lastv, label_lengths]
+    return -(a_final + lp_final)
+
+
+def _occupancies(blank_lp, emit_lp, alpha, input_lengths, label_lengths):
+    """Blank/emit transition occupancies [B, T, U1] (posterior expected
+    counts of each lattice edge)."""
+    b, t_max, u1 = blank_lp.shape
+    beta = _beta_scan(blank_lp, emit_lp, input_lengths, label_lengths)
+    log_z = beta[:, 0, 0]
+
+    t_idx = jnp.arange(t_max)[None, :, None]
+    u_idx = jnp.arange(u1)[None, None, :]
+    t_last = (input_lengths - 1)[:, None, None]
+    u_last = label_lengths[:, None, None]
+    in_lattice = (t_idx <= t_last) & (u_idx <= u_last)
+
+    beta_down = jnp.concatenate(
+        [beta[:, 1:, :], jnp.full((b, 1, u1), LOG_ZERO)], axis=1)
+    beta_down = jnp.where((t_idx == t_last) & (u_idx == u_last),
+                          0.0, jnp.where(t_idx < t_last, beta_down,
+                                         LOG_ZERO))
+    occ_b = jnp.exp(jnp.where(
+        in_lattice, alpha + blank_lp + beta_down - log_z[:, None, None],
+        LOG_ZERO))
+    beta_right = jnp.concatenate(
+        [beta[:, :, 1:], jnp.full((b, t_max, 1), LOG_ZERO)], axis=2)
+    occ_e = jnp.exp(jnp.where(
+        in_lattice & (u_idx < u_last),
+        alpha + emit_lp + beta_right - log_z[:, None, None], LOG_ZERO))
+    return occ_b, occ_e
+
+
+def _planes_fwd(blank_lp, emit_lp, input_lengths, label_lengths):
+    alpha = _alpha_scan(blank_lp, emit_lp)
+    b = blank_lp.shape[0]
+    t_lastv = jnp.maximum(input_lengths - 1, 0)
+    a_final = alpha[jnp.arange(b), t_lastv, label_lengths]
+    lp_final = blank_lp[jnp.arange(b), t_lastv, label_lengths]
+    loss = -(a_final + lp_final)
+    return loss, (blank_lp, emit_lp, input_lengths, label_lengths, alpha)
+
+
+def _planes_bwd(res, g):
+    blank_lp, emit_lp, input_lengths, label_lengths, alpha = res
+    occ_b, occ_e = _occupancies(blank_lp, emit_lp, alpha,
+                                input_lengths, label_lengths)
+    gc = g[:, None, None]
+    return (-occ_b * gc, -occ_e * gc, None, None)
+
+
+rnnt_loss_planes.defvjp(_planes_fwd, _planes_bwd)
+
+
+def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
+                        w_out: jnp.ndarray, b_out: jnp.ndarray,
+                        labels: jnp.ndarray, input_lengths: jnp.ndarray,
+                        label_lengths: jnp.ndarray, blank: int = 0,
+                        activation: str = "tanh",
+                        chunk: int = 16) -> jnp.ndarray:
+    """Transducer loss from PROJECTED joint streams — the [B, T, U+1, V]
+    joint tensor never exists in HBM.
+
+    Args:
+      enc_j:  [B, T, H]  encoder stream after the joint's enc projection.
+      pred_j: [B, U+1, H] predictor stream after the joint's pred projection.
+      w_out:  [H, V], b_out: [V] — the joint output layer.
+
+    The T axis is processed in chunks of ``chunk`` frames inside a
+    ``lax.scan``; each step computes act(enc+pred) @ W, reduces it to the
+    blank/emit log-prob planes, and drops it. ``jax.checkpoint`` on the
+    step makes the backward pass rematerialize the chunk instead of saving
+    it, so peak HBM is O(B·T·U) + O(B·chunk·U·V) transient, vs
+    O(B·T·U·V) for the materialized paths (reference materializes the full
+    joint: `wenet/transducer/joint.py:45-70` + torchaudio rnnt_loss).
+    FLOPs match `rnnt_loss_fused` (whose backward also recomputes the
+    softmax) — this trades nothing for the memory win, enabling much
+    larger B·T operating points on-chip.
+    """
+    from wenet_celoss_tpu.utils.common import get_activation
+    act = get_activation(activation)
+    b, t_max, h = enc_j.shape
+    u1 = pred_j.shape[1]
+    u = u1 - 1
+    lab = (jnp.concatenate([labels[:, :u], jnp.zeros((b, 1), labels.dtype)],
+                           axis=1) if u > 0
+           else jnp.zeros((b, u1), labels.dtype))         # [B, U1]
+
+    n_chunks = -(-t_max // chunk)
+    t_pad = n_chunks * chunk
+    if t_pad != t_max:
+        enc_j = jnp.pad(enc_j, ((0, 0), (0, t_pad - t_max), (0, 0)))
+    enc_chunks = enc_j.reshape(b, n_chunks, chunk, h).swapaxes(0, 1)
+
+    pred_f = pred_j.astype(jnp.float32)
+    w_f = w_out.astype(jnp.float32)
+    b_f = b_out.astype(jnp.float32)
+
+    @jax.checkpoint
+    def step(carry, enc_c):
+        # enc_c [B, Tc, H] → planes [B, Tc, U1]; the [B, Tc, U1, V]
+        # intermediate is transient (and rematerialized in backward).
+        hidden = act(enc_c.astype(jnp.float32)[:, :, None, :]
+                     + pred_f[:, None, :, :])
+        logits = jnp.einsum("btuh,hv->btuv", hidden, w_f) + b_f
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        blank_c = lp[..., blank]
+        emit_c = jnp.take_along_axis(
+            lp, lab[:, None, :, None].repeat(lp.shape[1], 1), axis=3)[..., 0]
+        return carry, (blank_c, emit_c)
+
+    _, (blank_chunks, emit_chunks) = jax.lax.scan(step, 0., enc_chunks)
+    # [N, B, Tc, U1] → [B, T, U1]
+    blank_lp = blank_chunks.swapaxes(0, 1).reshape(b, t_pad, u1)[:, :t_max]
+    emit_lp = emit_chunks.swapaxes(0, 1).reshape(b, t_pad, u1)[:, :t_max]
+    emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
+    return rnnt_loss_planes(blank_lp, emit_lp, input_lengths, label_lengths)
+
+
 @partial(jax.jit, static_argnames=("blank",))
 def rnnt_loss_simple(am: jnp.ndarray, lm: jnp.ndarray, labels: jnp.ndarray,
                      input_lengths: jnp.ndarray, label_lengths: jnp.ndarray,
