@@ -46,7 +46,27 @@ if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
 fi
 
 if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
-  echo "stage 2: data.list (raw jsonl; use tools/make_shard_list.py for UIO shards)"
+  echo "stage 2: BPE model + dict (from-scratch unigram trainer,"
+  echo "         reference recipe stage 2 / tools/spm_train)"
+  mkdir -p data/lang_char
+  if [ ! -f ${bpe_model} ]; then
+    # Lowercase transcripts (strip utt keys) → unigram subword model.
+    cut -d' ' -f2- data/train_960/text | tr '[:upper:]' '[:lower:]' \
+      > data/lang_char/input.txt
+    python tools/spm_train.py --input data/lang_char/input.txt \
+      --vocab_size 5000 --model_prefix ${bpe_model%.model}
+  fi
+  if [ ! -f ${dict} ]; then
+    {
+      echo "<blank> 0"
+      echo "<unk> 1"
+      # vocab is "piece<TAB>score"; skip the 3 control rows.
+      tail -n +4 ${bpe_model%.model}.vocab | cut -f1 | \
+        awk '{print $1, NR+1}'
+      echo "<sos/eos> $(($(tail -n +4 ${bpe_model%.model}.vocab | wc -l) + 2))"
+    } > ${dict}
+  fi
+  echo "stage 2b: data.list (raw jsonl; use tools/make_shard_list.py for UIO shards)"
   for part in train_960 ${dev_set} ${test_sets}; do
     python tools/make_raw_list.py data/${part}/wav.scp data/${part}/text \
       data/${part}/data.list
