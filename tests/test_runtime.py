@@ -804,3 +804,27 @@ def test_rpc_client_tool(runtime_build, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+class TestWebDemo:
+    """runtime/web/app.py — static mic-demo page server (reference
+    runtime/web gradio demo equivalent)."""
+
+    def test_serves_page_with_injected_ws_port(self):
+        import urllib.request
+        port = 19900 + (os.getpid() % 90)
+        proc = subprocess.Popen(
+            [sys.executable, "runtime/web/app.py", "--port", str(port),
+             "--ws_port", "12345"], cwd=REPO)
+        try:
+            _wait_port(port)
+            body = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+            assert "window.WS_PORT=12345" in body
+            assert "WebSocket" in body and "getUserMedia" in body
+            # protocol parity with the websocket server
+            assert '"start"' in body.replace("signal: ", '"signal": ') \
+                or 'signal: "start"' in body
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
