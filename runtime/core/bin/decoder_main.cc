@@ -102,6 +102,10 @@ int main(int argc, char** argv) {
   opts.chunk_size = flags.chunk_size;
   if (flags.mode == "rnnt_greedy_search")
     opts.search_type = SearchType::kRnntGreedySearch;
+  if (flags.mode == "rnnt_beam_search") {
+    opts.search_type = SearchType::kRnntPrefixBeamSearch;
+    if (flags.beam > 1.0) opts.rnnt_beam = static_cast<int>(flags.beam);
+  }
   if (!flags.fst_path.empty()) {
     auto fst = std::make_shared<LgFst>();
     if (!fst->Read(flags.fst_path)) {

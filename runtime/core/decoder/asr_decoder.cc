@@ -16,6 +16,8 @@ AsrDecoder::AsrDecoder(std::shared_ptr<FeaturePipeline> feature_pipeline,
   model_->set_num_left_chunks(opts_.num_left_chunks);
   if (opts_.search_type == SearchType::kRnntGreedySearch) {
     searcher_.reset(new RnntGreedySearch());
+  } else if (opts_.search_type == SearchType::kRnntPrefixBeamSearch) {
+    searcher_.reset(new RnntBeamSearch());
   } else if (opts_.search_type == SearchType::kWfstBeamSearch &&
              resource_->fst != nullptr) {
     searcher_.reset(
@@ -68,7 +70,11 @@ DecodeState AsrDecoder::AdvanceDecoding() {
       ctc_log_probs.insert(ctc_log_probs.end(), tail_probs.begin(),
                            tail_probs.end());
     }
-    if (opts_.search_type == SearchType::kRnntGreedySearch) {
+    if (opts_.search_type == SearchType::kRnntGreedySearch ||
+        opts_.search_type == SearchType::kRnntPrefixBeamSearch) {
+      // Streaming partials come from the incremental greedy decode; the
+      // beam mode replaces them with the utterance-final n-best in
+      // Rescoring().
       std::vector<int> new_tokens;
       model_->RnntGreedyChunk(&new_tokens);
       searcher_->Search(new_tokens);
@@ -121,6 +127,14 @@ void AsrDecoder::UpdateResult(bool finish) {
 
 void AsrDecoder::Rescoring() {
   searcher_->FinalizeSearch();
+  if (opts_.search_type == SearchType::kRnntPrefixBeamSearch) {
+    // Utterance-final transducer beam (JAX batched search in the worker)
+    // replaces the streaming greedy partial.
+    std::vector<std::vector<int>> hyps;
+    std::vector<float> scores;
+    model_->RnntBeamSearch(opts_.rnnt_beam, &hyps, &scores);
+    static_cast<RnntBeamSearch*>(searcher_.get())->SetNbest(hyps, scores);
+  }
   UpdateResult(true);
   if (opts_.rescoring_weight <= 0.0f ||
       opts_.search_type == SearchType::kRnntGreedySearch)

@@ -29,8 +29,12 @@ struct DecodeOptions {
   float ctc_weight = 0.5f;
   float rescoring_weight = 1.0f;
   float reverse_weight = 0.0f;
-  // "ctc_prefix_beam_search" | "rnnt_greedy_search" | "ctc_wfst_beam_search"
+  // "ctc_prefix_beam_search" | "rnnt_greedy_search" |
+  // "rnnt_beam_search" | "ctc_wfst_beam_search"
   SearchType search_type = SearchType::kPrefixBeamSearch;
+  // n-best width for the utterance-final transducer beam
+  // (search_type == kRnntPrefixBeamSearch).
+  int rnnt_beam = 5;
   CtcEndpointConfig ctc_endpoint_config;
   CtcPrefixBeamSearchOptions ctc_search_opts;
   WfstBeamSearchOptions wfst_search_opts;

@@ -56,6 +56,16 @@ class AsrModel {
     new_tokens->clear();
   }
 
+  // Utterance-final transducer prefix beam over all accumulated encoder
+  // frames → n-best + scores (completes the capability the reference left
+  // unfinished in rnnt_prefix_beam_search.cc). Default: empty.
+  virtual void RnntBeamSearch(int beam,
+                              std::vector<std::vector<int>>* hyps,
+                              std::vector<float>* scores) {
+    hyps->clear();
+    scores->clear();
+  }
+
  protected:
   int subsampling_rate_ = 4;
   int right_context_ = 6;

@@ -49,7 +49,7 @@ class RnntGreedySearch : public SearchInterface {
     return times_;
   }
 
- private:
+ protected:
   void UpdateOutputs() {
     hypotheses_[0] = hyp_;
     outputs_[0] = hyp_;
@@ -60,6 +60,27 @@ class RnntGreedySearch : public SearchInterface {
   std::vector<std::vector<int>> outputs_;
   std::vector<float> likelihood_;
   std::vector<std::vector<int>> times_;
+};
+
+// Transducer prefix beam: greedy-accumulator partials during streaming;
+// at FinalizeSearch the decoder queries the model's utterance-final beam
+// (AsrModel::RnntBeamSearch → JAX batched rnnt_prefix_beam_search) and
+// installs the n-best here. Completes the reference's unfinished
+// runtime/core/decoder/rnnt_prefix_beam_search.{h,cc}.
+class RnntBeamSearch : public RnntGreedySearch {
+ public:
+  SearchType Type() const override {
+    return SearchType::kRnntPrefixBeamSearch;
+  }
+
+  void SetNbest(const std::vector<std::vector<int>>& hyps,
+                const std::vector<float>& scores) {
+    if (hyps.empty()) return;
+    hypotheses_ = hyps;
+    outputs_ = hyps;
+    likelihood_ = scores;
+    times_.assign(hyps.size(), {});
+  }
 };
 
 }  // namespace wenet_tpu

@@ -9,9 +9,11 @@
 //            'F' T D float32[T*D]              (forward feature chunk)
 //            'G'                               (transducer greedy chunk)
 //            'R' N rw { L int32[L] } * N       (attention rescoring)
+//            'B' beam                          (transducer final beam)
 //            'Q'                               (quit)
 //   py→C++:  'O' T' V float32[T'*V]            (ctc log probs)
 //            'S' N float32[N]                  (rescoring scores)
+//            'N' n { L int32[L] f32 } * n      (beam n-best + scores)
 //            'M' json                          (metadata after init)
 #ifndef WENET_TPU_DECODER_SUBPROCESS_ASR_MODEL_H_
 #define WENET_TPU_DECODER_SUBPROCESS_ASR_MODEL_H_
@@ -82,6 +84,22 @@ class SubprocessAsrModel : public AsrModel {
     uint32_t n = ReadU32();
     new_tokens->resize(n);
     if (n) ReadAll(new_tokens->data(), n * sizeof(int32_t));
+  }
+
+  void RnntBeamSearch(int beam, std::vector<std::vector<int>>* hyps,
+                      std::vector<float>* scores) override {
+    WriteTag('B');
+    WriteU32(static_cast<uint32_t>(beam));
+    if (ReadTag() != 'N') throw std::runtime_error("worker: bad B reply");
+    uint32_t n = ReadU32();
+    hyps->assign(n, {});
+    scores->assign(n, 0.0f);
+    for (uint32_t i = 0; i < n; ++i) {
+      uint32_t l = ReadU32();
+      (*hyps)[i].resize(l);
+      if (l) ReadAll((*hyps)[i].data(), l * sizeof(int32_t));
+      ReadAll(&(*scores)[i], sizeof(float));
+    }
   }
 
   void AttentionRescoring(const std::vector<std::vector<int>>& hyps,

@@ -329,6 +329,34 @@ def test_serving_transducer_greedy(runtime_build, tmp_path):
     assert hyp.replace(" ", "").upper() == expected, res.stdout + res.stderr
 
 
+@pytest.mark.slow
+def test_serving_transducer_beam(runtime_build, tmp_path):
+    """decoder_main --mode rnnt_beam_search: streaming greedy partials +
+    utterance-final JAX prefix-beam n-best (+ attention re-rank), i.e. the
+    serving capability the reference's rnnt_prefix_beam_search.cc left
+    unfinished."""
+    model_dir, wav_path, expected, chunk, mel = \
+        _train_tiny_streaming_transducer(tmp_path)
+    worker_cmd = (
+        f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
+        f"--config {model_dir}/train.yaml "
+        f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [os.path.join(runtime_build, "decoder_main"),
+         "--wav_path", str(wav_path),
+         "--symbol_table", str(model_dir / "units.txt"),
+         "--worker_cmd", worker_cmd,
+         "--chunk_size", str(chunk),
+         "--num_bins", str(mel),
+         "--mode", "rnnt_beam_search", "--beam", "4"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert res.returncode == 0, res.stdout + res.stderr
+    line = res.stdout.strip().splitlines()[-1]
+    hyp = line.split(maxsplit=1)[1] if " " in line else ""
+    assert hyp.replace(" ", "").upper() == expected, res.stdout + res.stderr
+
+
 def _ws_client_send(sock, opcode, payload: bytes):
     import struct as st
     hdr = bytes([0x80 | opcode])

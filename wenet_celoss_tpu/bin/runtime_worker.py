@@ -11,6 +11,7 @@ Protocol (little-endian):
   in : 'I' u32(len) cfg_json?   → out: 'M' u32(len) meta_json
   in : 'F' u32(T) u32(D) f32[T*D] → out: 'O' u32(T') u32(V) f32[T'*V]
   in : 'R' u32(N) f32(rw) { u32(L) i32[L] }*N → out: 'S' u32(N) f32[N]
+  in : 'B' u32(beam) → out: 'N' u32(n) { u32(L) i32[L] f32(score) }*n
   in : 'Q' → exit
 """
 
@@ -166,6 +167,54 @@ class Worker:
         self.greedy_consumed = full.shape[0]
         return toks
 
+    def rnnt_beam(self, beam: int):
+        """Utterance-final transducer prefix beam over ALL accumulated
+        encoder frames → [(tokens, score)] best-first. Completes the
+        serving capability the reference left unfinished
+        (`runtime/core/decoder/rnnt_prefix_beam_search.cc`): the search
+        itself is the batched jit `rnnt_prefix_beam_search`; C++ calls
+        this at FinalizeSearch time."""
+        if not self.is_transducer or not self.encoder_outs:
+            return []
+        from wenet_celoss_tpu.decode.rnnt_beam import rnnt_prefix_beam_search
+        jnp = self.jnp
+        enc = np.concatenate(self.encoder_outs, axis=0)
+        t = enc.shape[0]
+        # Pad T to a bucket so recompilation is bounded (compile cache
+        # keys on shape).
+        t_pad = max(64, -(-t // 64) * 64)
+        enc = np.pad(enc, ((0, t_pad - t), (0, 0)))
+
+        def predictor_step(tok, state, padding=None):
+            return self.model.apply(self.variables, tok, state, padding,
+                                    method="predictor_step")
+
+        def joint_step(enc_t, pred_u):
+            return self.model.apply(self.variables, enc_t, pred_u,
+                                    method="joint_step")
+
+        init_state = self.model.apply(self.variables, beam,
+                                      method="predictor_init_state")
+        state_gather = None
+        if type(self.model.predictor).__name__ == "RNNPredictor":
+            state_gather = lambda st, idx: self.jax.tree_util.tree_map(
+                lambda x: x[:, idx], st)
+        res = rnnt_prefix_beam_search(
+            predictor_step, joint_step, init_state,
+            jnp.asarray(enc[None]), jnp.asarray([t]), beam=beam,
+            topk=min(beam, 10), blank=self.model.blank,
+            state_gather=state_gather)
+        toks = np.asarray(res["tokens"][0])
+        lens = np.asarray(res["lens"][0])
+        scores = np.asarray(res["scores"][0])
+        out = []
+        for i in range(toks.shape[0]):
+            if scores[i] < -1e20:
+                continue
+            out.append(([int(x) for x in toks[i, :lens[i]]],
+                        float(scores[i])))
+        return out
+
     def rescore(self, hyps, reverse_weight: float) -> np.ndarray:
         from wenet_celoss_tpu.decode.rescoring import \
             score_hyps_with_decoder
@@ -233,6 +282,15 @@ def main():
             toks = worker.greedy_new_tokens()
             fout.write(b"T" + struct.pack("<I", len(toks)))
             fout.write(np.asarray(toks, "<i4").tobytes())
+            fout.flush()
+        elif tag == b"B":
+            (beam,) = struct.unpack("<I", read_exact(fin, 4))
+            nbest = worker.rnnt_beam(int(beam))
+            fout.write(b"N" + struct.pack("<I", len(nbest)))
+            for toks, score in nbest:
+                fout.write(struct.pack("<I", len(toks)))
+                fout.write(np.asarray(toks, "<i4").tobytes())
+                fout.write(struct.pack("<f", score))
             fout.flush()
         elif tag == b"R":
             (n,) = struct.unpack("<I", read_exact(fin, 4))
