@@ -23,17 +23,20 @@ def main():
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)
-    dtype = os.environ.get("BENCH_DTYPE")
-    if dtype:
-        cfg["dtype"] = dtype
+    # bf16 compute with fp32 params is the TPU mixed-precision analog of
+    # the reference's AMP training (executor.py:92-122) and the tuned
+    # operating point: 3125 (bf16) vs 2802 (fp32) audio-s/s at B=256.
+    cfg["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
     rnnt_impl = os.environ.get("BENCH_RNNT")
     if rnnt_impl:
         cfg["model_conf"]["rnnt_impl"] = rnnt_impl
     model = init_model(cfg)
 
-    # Large batch is the TPU-native operating point (SPMD training); the
-    # step is dispatch/latency-bound below ~B=32 on one chip.
-    b = int(os.environ.get("BENCH_BATCH", "32"))
+    # Large batch is the TPU-native operating point (SPMD training).
+    # With the streaming-V loss (rnnt_impl=streaming, the flagship
+    # default) B=512 fits one v5e chip (the materialized-joint paths top
+    # out near B=64 at T=512, V=1024: [B,T',U+1,V] is ~70 GB at B=512).
+    b = int(os.environ.get("BENCH_BATCH", "256"))
     t = int(os.environ.get("BENCH_FRAMES", "512"))   # 10ms frames
     u = int(os.environ.get("BENCH_LABELS", "32"))
     rng = np.random.default_rng(0)
@@ -60,25 +63,36 @@ def main():
         state, metrics, _ = train_step(state, batch, key)
         return state, metrics
 
-    # Warmup/compile.
+    def sync(state, m):
+        """Force REAL completion of the last step. On the experimental
+        'axon' platform jax.block_until_ready can return before the
+        program finishes (output buffers are marked ready early), which
+        silently turns a timing loop into a dispatch-rate measurement.
+        A host read of a value computed FROM the final parameters cannot
+        lie: it requires the optimizer update to have run."""
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        return float(m["loss"]) + float(jnp.sum(jnp.abs(leaf)))
+
+    # Warmup/compile (incl. the sync probe's reduction).
     key = jax.random.PRNGKey(1)
     state, m = step(state, key)
-    jax.block_until_ready(m["loss"])
+    sync(state, m)
 
-    # The tunnelled dev chip shows heavy run-to-run variance (queueing /
-    # sharing); take the best of several timed windows.
-    iters = int(os.environ.get("BENCH_ITERS", "15"))
+    # Median of probe-synced windows (never best-of: a window whose
+    # block returned early would report impossible FLOP rates).
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
-    best = 0.0
+    rates = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for i in range(iters):
             key, sub = jax.random.split(key)
             state, m = step(state, sub)
-        jax.block_until_ready(m["loss"])
+        sync(state, m)
         dt = time.perf_counter() - t0
-        best = max(best, b * t * 0.01 * iters / dt)
-    value = best
+        rates.append(b * t * 0.01 * iters / dt)
+    rates.sort()
+    value = rates[len(rates) // 2]
 
     vs = 1.0
     if os.path.exists("BENCH_BASELINE.json"):

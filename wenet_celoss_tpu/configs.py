@@ -67,6 +67,10 @@ def conformer_rnnt_bias(input_dim: int = 80, vocab_size: int = 5002,
             "attention_weight": 0.15, "lsm_weight": 0.1,
             "length_normalized_loss": False, "reverse_weight": 0.3,
             "loss_mode": "both", "hw_weight": 0.4,
+            # Exact streaming-V RNN-T loss: [B,T,U,V] never materializes,
+            # enabling the large-batch TPU operating point (B=512 on one
+            # v5e chip vs B<=64 for the materialized joint).
+            "rnnt_impl": "streaming",
         },
         "grad_clip": 4, "accum_grad": 4,
         "optim": "adam", "optim_conf": {"lr": 0.001},
