@@ -20,6 +20,11 @@ def main():
     from wenet_celoss_tpu.configs import conformer_rnnt_bias
     from wenet_celoss_tpu.models.factory import init_model
     from wenet_celoss_tpu.parallel import train as T
+    from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
+
+    # Hardware RNG for dropout (+106ms/step at B=256 with threefry;
+    # see utils/platform.py). Env JAX_DEFAULT_PRNG_IMPL overrides.
+    configure_tpu_runtime()
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)

@@ -49,6 +49,8 @@ def main():
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(message)s")
+    from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
+    configure_tpu_runtime()
     if args.distributed:
         jax.distributed.initialize()
     rank = jax.process_index()

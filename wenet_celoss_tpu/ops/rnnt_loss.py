@@ -324,17 +324,23 @@ def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
         enc_j = jnp.pad(enc_j, ((0, 0), (0, t_pad - t_max), (0, 0)))
     enc_chunks = enc_j.reshape(b, n_chunks, chunk, h).swapaxes(0, 1)
 
-    pred_f = pred_j.astype(jnp.float32)
-    w_f = w_out.astype(jnp.float32)
+    # The joint matmul runs in the caller's compute dtype (bf16 under
+    # mixed precision — full MXU rate) with fp32 ACCUMULATION
+    # (preferred_element_type); softmax/planes/lattice stay fp32. This
+    # matches the reference's AMP semantics (the joint matmul autocasts
+    # to fp16 under `executor.py:92-99`) while keeping the recursion
+    # numerics exact.
     b_f = b_out.astype(jnp.float32)
+    w_c = w_out.astype(enc_j.dtype)   # params are fp32; cast once
 
     @jax.checkpoint
     def step(carry, enc_c):
         # enc_c [B, Tc, H] → planes [B, Tc, U1]; the [B, Tc, U1, V]
         # intermediate is transient (and rematerialized in backward).
-        hidden = act(enc_c.astype(jnp.float32)[:, :, None, :]
-                     + pred_f[:, None, :, :])
-        logits = jnp.einsum("btuh,hv->btuv", hidden, w_f) + b_f
+        hidden = act(enc_c[:, :, None, :]
+                     + pred_j.astype(enc_j.dtype)[:, None, :, :])
+        logits = jnp.einsum("btuh,hv->btuv", hidden, w_c,
+                            preferred_element_type=jnp.float32) + b_f
         lp = jax.nn.log_softmax(logits, axis=-1)
         blank_c = lp[..., blank]
         emit_c = jnp.take_along_axis(
