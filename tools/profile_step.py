@@ -169,18 +169,26 @@ def main():
     enc_out = jnp.asarray(rng.standard_normal((b, t_sub, d_enc)), dt_c)
     enc_mask = jnp.ones((b, t_sub), bool)
 
-    def aux_loss(p, rng_key):
+    def att_loss(p, rng_key):
         def fwd(m, eo, mask):
             la, _ = m._calc_att_loss(eo, mask, batch["labels"],
                                      batch["label_lengths"],
                                      deterministic=False)
-            lc = m.ctc(eo, jnp.sum(mask, axis=1), batch["labels"],
-                       batch["label_lengths"], deterministic=False)
-            return la + lc
+            return la
         return model.apply({"params": p}, enc_out, enc_mask, method=fwd,
                            rngs={"dropout": rng_key})
 
-    results["att+ctc"] = timed(jax.jit(jax.grad(aux_loss)), (params, key), name="att+ctc")
+    def ctc_loss_only(p, rng_key):
+        def fwd(m, eo, mask):
+            return m.ctc(eo, jnp.sum(mask, axis=1), batch["labels"],
+                         batch["label_lengths"], deterministic=False)
+        return model.apply({"params": p}, enc_out, enc_mask, method=fwd,
+                           rngs={"dropout": rng_key})
+
+    results["att"] = timed(jax.jit(jax.grad(att_loss)), (params, key),
+                           name="att")
+    results["ctc"] = timed(jax.jit(jax.grad(ctc_loss_only)), (params, key),
+                           name="ctc")
 
     audio_s = b * t * 0.01
     print(f"\n== profile @ B={b} T={t} U={u} V={v} dtype={cfg['dtype']} "

@@ -52,13 +52,23 @@ class MultiHeadedAttention(nn.Module):
                 self._split(self.linear_v(value)))
 
     def _attend(self, q, k, v, mask, deterministic):
-        """q,k,v: [B,H,T,dk]; mask: [B, 1|Tq, Tk] bool or None."""
+        """q,k,v: [B,H,T,dk]; mask: [B, 1|Tq, Tk] bool, float additive
+        bias (0 = keep, NEG_INF = drop; precomputed once by the encoder
+        and shared across layers so each layer skips the two boolean
+        select passes over [B,H,T,T]), or None."""
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(self.d_k, q.dtype))
-        if mask is not None:
+        additive = mask is not None and mask.dtype != jnp.bool_
+        if additive:
+            # exp(NEG_INF - max) underflows to exactly 0 in the fp32
+            # softmax, so no post-softmax re-zero is needed for masked
+            # keys. (Fully-masked pad query rows get uniform attention;
+            # every consumer masks pad frames by length.)
+            scores = scores + mask[:, None, :, :].astype(scores.dtype)
+        elif mask is not None:
             scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
         attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        if mask is not None:
+        if mask is not None and not additive:
             attn = jnp.where(mask[:, None, :, :], attn, 0.0)
         attn = self.dropout(attn, deterministic=deterministic)
         x = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -117,7 +127,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
             (self.n_head, self.d_k))
 
     def _rel_attend(self, q, k, v, pos_emb, mask, deterministic):
-        """q: [B,H,Tq,dk]; k,v: [B,H,Tk,dk]; pos_emb: [1|B, Tk, n_feat]."""
+        """q: [B,H,Tq,dk]; k,v: [B,H,Tk,dk]; pos_emb: [1|B, Tk, n_feat];
+        mask: bool or float additive bias (see _attend)."""
         p = self.linear_pos(pos_emb)
         pb, pt = p.shape[0], p.shape[1]
         p = p.reshape(pb, pt, self.n_head, self.d_k).transpose(0, 2, 1, 3)
@@ -127,10 +138,13 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         matrix_bd = jnp.einsum("bhqd,phkd->bhqk", q_v, p)
         scores = (matrix_ac + matrix_bd) / jnp.sqrt(
             jnp.asarray(self.d_k, q.dtype))
-        if mask is not None:
+        additive = mask is not None and mask.dtype != jnp.bool_
+        if additive:
+            scores = scores + mask[:, None, :, :].astype(scores.dtype)
+        elif mask is not None:
             scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
         attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        if mask is not None:
+        if mask is not None and not additive:
             attn = jnp.where(mask[:, None, :, :], attn, 0.0)
         attn = self.dropout(attn, deterministic=deterministic)
         x = jnp.einsum("bhqk,bhkd->bhqd", attn, v)

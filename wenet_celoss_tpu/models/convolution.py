@@ -36,7 +36,7 @@ class ConvolutionModule(nn.Module):
             self.norm_layer = nn.BatchNorm(use_running_average=True,
                                            momentum=0.9, epsilon=1e-5)
         else:
-            self.norm_layer = nn.LayerNorm(epsilon=1e-5)
+            self.norm_layer = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.pointwise_conv2 = nn.Dense(self.channels,
                                         use_bias=self.use_bias,
                                         dtype=self.dtype)

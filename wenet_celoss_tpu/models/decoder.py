@@ -45,9 +45,9 @@ class DecoderLayer(nn.Module):
             dtype=self.dtype)
         self.feed_forward = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(epsilon=1e-5)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5)
-        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
         if self.concat_after:
             self.concat_linear1 = nn.Dense(self.size)
@@ -107,7 +107,7 @@ class TransformerDecoder(nn.Module):
             self.self_attention_dropout_rate, self.src_attention_dropout_rate,
             self.normalize_before, self.concat_after, dtype=self.dtype,
             name=f"layer_{i}") for i in range(self.num_blocks)]
-        self.after_norm = nn.LayerNorm(epsilon=1e-5)
+        self.after_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         if self.use_output_layer:
             self.output_layer = nn.Dense(self.vocab_size, dtype=self.dtype)
 

@@ -72,7 +72,8 @@ class BaseEncoder(nn.Module):
             self.output_size, self.dropout_rate, pos_enc,
             dtype=self.compute_dtype)
         self.layers = self._make_layers()
-        self.after_norm = nn.LayerNorm(epsilon=1e-5)
+        self.after_norm = nn.LayerNorm(epsilon=1e-5,
+                                       dtype=self.compute_dtype)
         if self.cmvn is not None:
             self._cmvn_mean = jnp.asarray(self.cmvn[0], jnp.float32)
             self._cmvn_istd = jnp.asarray(self.cmvn[1], jnp.float32)
@@ -115,8 +116,14 @@ class BaseEncoder(nn.Module):
             static_chunk_size=self.static_chunk_size,
             num_decoding_left_chunks=num_decoding_left_chunks,
             rng=chunk_rng)
+        # Precompute the attention mask as an ADDITIVE bias once; all N
+        # layers reuse it, replacing two boolean select passes over
+        # [B, H, T, T] per layer with one add (see attention._attend).
+        from wenet_celoss_tpu.models.attention import NEG_INF
+        att_bias = jnp.where(att_mask, 0.0, NEG_INF).astype(
+            self.compute_dtype or jnp.float32)
         for layer in self.layers:
-            xs = self._call_layer(layer, xs, att_mask, pos_emb, pad_mask,
+            xs = self._call_layer(layer, xs, att_bias, pos_emb, pad_mask,
                                   deterministic, train)
         if self.normalize_before:
             xs = self.after_norm(xs)

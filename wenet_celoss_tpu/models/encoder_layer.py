@@ -54,8 +54,8 @@ class TransformerEncoderLayer(nn.Module):
             dtype=self.dtype)
         self.feed_forward = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(epsilon=1e-5)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
         if self.concat_after:
             self.concat_linear = nn.Dense(self.size)
@@ -128,15 +128,15 @@ class ConformerEncoderLayer(nn.Module):
             self.feed_forward_macaron = PositionwiseFeedForward(
                 self.linear_units, self.dropout_rate, self.activation,
                 dtype=self.dtype)
-            self.norm_ff_macaron = nn.LayerNorm(epsilon=1e-5)
+            self.norm_ff_macaron = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         if self.use_cnn_module:
             self.conv_module = ConvolutionModule(
                 self.size, self.cnn_module_kernel, self.cnn_module_norm,
                 self.causal, dtype=self.dtype)
-            self.norm_conv = nn.LayerNorm(epsilon=1e-5)
-            self.norm_final = nn.LayerNorm(epsilon=1e-5)
-        self.norm_ff = nn.LayerNorm(epsilon=1e-5)
-        self.norm_mha = nn.LayerNorm(epsilon=1e-5)
+            self.norm_conv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+            self.norm_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm_ff = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm_mha = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
         self.ff_scale = 0.5 if self.macaron_style else 1.0
 

@@ -35,11 +35,13 @@ def label_smoothing_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     # entropy term that the reference INCLUDES (torch kl_div computes it).
     p_logp = (confidence * jnp.log(confidence + 1e-20)
               + (v - 1) * low * jnp.log(low + 1e-20))
-    ce = -(confidence * jnp.take_along_axis(logq, tgt[..., None],
-                                            axis=-1)[..., 0]
-           + low * (jnp.sum(logq, axis=-1)
-                    - jnp.take_along_axis(logq, tgt[..., None],
-                                          axis=-1)[..., 0]))
+    # One-hot matmul instead of take_along_axis: a V-axis gather's
+    # backward is an XLA scatter, which is far slower on TPU.
+    onehot = jax.nn.one_hot(tgt, v, dtype=logq.dtype)
+    logq_tgt = jnp.einsum("buv,buv->bu", logq, onehot,
+                          preferred_element_type=jnp.float32)
+    ce = -(confidence * logq_tgt
+           + low * (jnp.sum(logq, axis=-1) - logq_tgt))
     kl = (ce + p_logp) * mask
     denom = jnp.maximum(
         jnp.sum(mask) if normalize_length else targets.shape[0], 1)

@@ -71,7 +71,7 @@ class RNNPredictor(nn.Module):
             carry, out = nn.scan(
                 lambda cell, carry, xt: cell(carry, xt),
                 variable_broadcast="params", split_rngs={"params": False},
-                in_axes=1, out_axes=1)(cell, carry0, x)
+                in_axes=1, out_axes=1, unroll=8)(cell, carry0, x)
             if self.rnn_type == "lstm":
                 new_c.append(carry[0])
                 new_h.append(carry[1])

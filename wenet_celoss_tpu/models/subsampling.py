@@ -28,7 +28,7 @@ class LinearNoSubsampling(nn.Module):
 
     def setup(self):
         self.out = nn.Dense(self.odim, dtype=self.dtype)
-        self.norm = nn.LayerNorm(epsilon=1e-5)
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, x, lengths, offset=0, *, deterministic=True):

@@ -58,9 +58,14 @@ def ctc_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,
     k = jnp.arange(s)[None, :]
     in_range = k < (2 * label_lengths[:, None] + 1)              # valid states
 
-    # Emission log-prob per state per frame: [T, B, S]
-    emit = jnp.take_along_axis(
-        log_probs, ext[:, None, :].repeat(t_max, 1), axis=2)     # [B, T, S]
+    # Emission log-prob per state per frame: [T, B, S]. One-hot matmul
+    # instead of take_along_axis — a V-axis gather's backward is an XLA
+    # scatter, which is an order of magnitude slower than this batched
+    # matmul on TPU (profiled 26.4ms vs ~1ms at B=256, T=127, V=1024).
+    onehot = jax.nn.one_hot(ext, log_probs.shape[2],
+                            dtype=log_probs.dtype)               # [B, S, V]
+    emit = jnp.einsum("btv,bsv->bts", log_probs, onehot,
+                      preferred_element_type=jnp.float32)        # [B, T, S]
     emit = jnp.moveaxis(emit, 1, 0)
 
     alpha0 = jnp.full((b, s), LOG_ZERO)
@@ -81,7 +86,8 @@ def ctc_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,
         new = jnp.where(in_range, new, LOG_ZERO)
         return new, new
 
-    _, alphas = jax.lax.scan(step, alpha0, emit[1:])             # [T-1, B, S]
+    _, alphas = jax.lax.scan(step, alpha0, emit[1:],
+                             unroll=8)                       # [T-1, B, S]
     alphas = jnp.concatenate([alpha0[None], alphas], axis=0)     # [T, B, S]
 
     # Terminal: at t = input_length-1, sum states 2U and 2U-1.
@@ -141,7 +147,7 @@ def ctc_forced_align(log_probs: jnp.ndarray, labels: jnp.ndarray,
         new = jnp.where(in_range, new, LOG_ZERO)
         return new, (new, best)
 
-    _, (alphas, bps) = jax.lax.scan(step, alpha0, emit[1:])
+    _, (alphas, bps) = jax.lax.scan(step, alpha0, emit[1:], unroll=8)
     alphas = jnp.concatenate([alpha0[None], alphas], axis=0)     # [T, B, S]
     bps = jnp.concatenate(
         [jnp.zeros((1, b, s), bps.dtype), bps], axis=0)          # [T, B, S]
@@ -168,5 +174,6 @@ def ctc_forced_align(log_probs: jnp.ndarray, labels: jnp.ndarray,
         st_next = jnp.where(active & (t > 0), st - delta, st)
         return st_next, jnp.where(active, sym, blank)
 
-    _, path = jax.lax.scan(back, state, jnp.arange(t_max)[::-1])
+    _, path = jax.lax.scan(back, state, jnp.arange(t_max)[::-1],
+                           unroll=8)
     return path[::-1].T                                          # [B, T]

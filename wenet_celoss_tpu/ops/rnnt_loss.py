@@ -32,19 +32,29 @@ import jax.numpy as jnp
 from wenet_celoss_tpu.utils.common import LOG_ZERO
 
 
+def _label_onehot(labels: jnp.ndarray, u1: int, v: int, dtype):
+    """[B, U] labels → [B, U1, V] one-hot (row U is all-zero, so the
+    matmul-gather yields 0 there; callers overwrite it with LOG_ZERO).
+    One-hot matmuls replace V-axis take_along_axis because a gather's
+    backward is an XLA scatter — order-of-magnitude slower on TPU."""
+    b, u = labels.shape
+    oh = jax.nn.one_hot(labels, v, dtype=dtype)            # [B, U, V]
+    return jnp.concatenate([oh, jnp.zeros((b, 1, v), dtype)], axis=1) \
+        if u1 == u + 1 else oh[:, :u1]
+
+
 def _gather_planes(logits: jnp.ndarray, labels: jnp.ndarray, blank: int):
     """logits [B,T,U1,V], labels [B,U] → blank/emit planes [B,T,U1]."""
     lp = jax.nn.log_softmax(logits, axis=-1)
     blank_lp = lp[..., blank]
-    b, t, u1, _ = lp.shape
+    b, t, u1, v = lp.shape
     u = u1 - 1
     if u == 0:
         emit_lp = jnp.full((b, t, u1), LOG_ZERO)
     else:
-        lab = jnp.concatenate(
-            [labels[:, :u], jnp.zeros((b, 1), labels.dtype)], axis=1)
-        emit_lp = jnp.take_along_axis(
-            lp, lab[:, None, :, None].repeat(t, 1), axis=3)[..., 0]
+        onehot = _label_onehot(labels, u1, v, lp.dtype)
+        emit_lp = jnp.einsum("btuv,buv->btu", lp, onehot,
+                             preferred_element_type=jnp.float32)
         emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
     return blank_lp, emit_lp
 
@@ -80,7 +90,8 @@ def _alpha_scan(blank_lp: jnp.ndarray, emit_lp: jnp.ndarray):
         return new, new
 
     init = jnp.full((b, u1), LOG_ZERO)
-    _, diags = jax.lax.scan(step, init, jnp.arange(t_max + u1 - 1))
+    _, diags = jax.lax.scan(step, init, jnp.arange(t_max + u1 - 1),
+                            unroll=8)
     # Unskew: alpha[t, u] = diags[t + u][u].
     t_idx = jnp.arange(t_max)
     alpha = diags[t_idx[:, None] + u_idx[None, :], :, u_idx[None, :]]
@@ -125,7 +136,7 @@ def _beta_scan(blank_lp: jnp.ndarray, emit_lp: jnp.ndarray,
 
     init = jnp.full((b, u1), LOG_ZERO)
     ds = jnp.arange(t_max + u1 - 1)[::-1]
-    _, diags = jax.lax.scan(step, init, ds)
+    _, diags = jax.lax.scan(step, init, ds, unroll=8)
     diags = diags[::-1]                                   # diag index order
     t_idx = jnp.arange(t_max)
     beta = diags[t_idx[:, None] + u_idx[None, :], :, u_idx[None, :]]
@@ -314,9 +325,9 @@ def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
     b, t_max, h = enc_j.shape
     u1 = pred_j.shape[1]
     u = u1 - 1
-    lab = (jnp.concatenate([labels[:, :u], jnp.zeros((b, 1), labels.dtype)],
-                           axis=1) if u > 0
-           else jnp.zeros((b, u1), labels.dtype))         # [B, U1]
+    v = w_out.shape[1]
+    # One-hot target matrix (row U all-zero; fixed up after the scan).
+    onehot = _label_onehot(labels[:, :u], u1, v, jnp.float32)  # [B, U1, V]
 
     n_chunks = -(-t_max // chunk)
     t_pad = n_chunks * chunk
@@ -337,14 +348,20 @@ def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
     def step(carry, enc_c):
         # enc_c [B, Tc, H] → planes [B, Tc, U1]; the [B, Tc, U1, V]
         # intermediate is transient (and rematerialized in backward).
+        # The normalized log-softmax tensor is never formed: only its
+        # blank/target rows are needed, so subtract the logsumexp from
+        # those two directly (saves two full [B,Tc,U1,V] HBM passes).
+        # The target row uses a one-hot matmul, not take_along_axis —
+        # a V-axis gather's backward is an XLA scatter (very slow on TPU).
         hidden = act(enc_c[:, :, None, :]
                      + pred_j.astype(enc_j.dtype)[:, None, :, :])
         logits = jnp.einsum("btuh,hv->btuv", hidden, w_c,
                             preferred_element_type=jnp.float32) + b_f
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        blank_c = lp[..., blank]
-        emit_c = jnp.take_along_axis(
-            lp, lab[:, None, :, None].repeat(lp.shape[1], 1), axis=3)[..., 0]
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1))
+        lse = jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)) + m
+        blank_c = logits[..., blank] - lse
+        emit_c = jnp.einsum("btuv,buv->btu", logits, onehot,
+                            preferred_element_type=jnp.float32) - lse
         return carry, (blank_c, emit_c)
 
     _, (blank_chunks, emit_chunks) = jax.lax.scan(step, 0., enc_chunks)
@@ -400,13 +417,15 @@ def _factored_planes(am: jnp.ndarray, lm: jnp.ndarray, labels: jnp.ndarray,
     blank_lp = am[:, :, None, blank] + lm[:, None, :, blank] - denom
     u = u1 - 1
     if u > 0:
-        lab = jnp.concatenate(
-            [labels[:, :u], jnp.zeros((b, 1), labels.dtype)], axis=1)
-        am_y = jnp.take_along_axis(
-            am[:, :, None, :].repeat(u1, 2), lab[:, None, :, None],
-            axis=3)[..., 0]
-        lm_y = jnp.take_along_axis(lm, lab[:, :, None], axis=2)
-        emit_lp = am_y + lm_y[:, None, :, 0] - denom
+        # One-hot matmuls, not take_along_axis: the V-gather's backward
+        # is an XLA scatter, and the am gather would first materialize a
+        # [B,T,U1,V] repeat of am.
+        onehot = _label_onehot(labels[:, :u], u1, v, am.dtype)   # [B,U1,V]
+        am_y = jnp.einsum("btv,buv->btu", am, onehot,
+                          preferred_element_type=jnp.float32)
+        lm_y = jnp.einsum("buv,buv->bu", lm, onehot,
+                          preferred_element_type=jnp.float32)
+        emit_lp = am_y + lm_y[:, None, :] - denom
         emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
     else:
         emit_lp = jnp.full((b, t_max, u1), LOG_ZERO)
@@ -543,7 +562,7 @@ def rnnt_loss_pruned(logits: jnp.ndarray, ranges: jnp.ndarray,
           jnp.moveaxis(deltas, 1, 0),
           jnp.moveaxis(cell_valid[:, 1:], 1, 0))
     if t_max > 1:
-        _, alphas = jax.lax.scan(step, alpha0, xs)
+        _, alphas = jax.lax.scan(step, alpha0, xs, unroll=8)
         alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
     else:
         alphas = alpha0[None]
