@@ -439,3 +439,43 @@ class TestPrunedRnnt:
         assert np.isfinite(np.asarray(g_am)).all()
         assert np.isfinite(np.asarray(g_lm)).all()
         assert float(jnp.abs(g_am).sum()) > 0
+
+
+class TestRnntLossStreamingFusedVjp:
+    """The production fused custom VJP (backward = beta + occupancies +
+    analytic chunked dlogits from the SAVED logsumexp) vs the plain
+    autodiff composition `_rnnt_loss_streaming_ad`."""
+
+    @pytest.mark.parametrize("activation", ["tanh", "swish", "relu"])
+    @pytest.mark.parametrize("chunk", [3, 16])
+    def test_grads_match_autodiff(self, activation, chunk):
+        from wenet_celoss_tpu.ops.rnnt_loss import (
+            _rnnt_loss_streaming_ad, rnnt_loss_streaming)
+        rng = np.random.default_rng(31)
+        b, t, u, h, v = 3, 11, 4, 5, 6
+        enc_j = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+        pred_j = jnp.asarray(rng.standard_normal((b, u + 1, h)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((h, v)) * 0.5, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((v,)) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens = jnp.array([11, 7, 4])
+        llens = jnp.array([4, 3, 0])
+        weights = jnp.array([0.7, 1.3, 0.2])
+
+        def fused(e, p, w_, b_):
+            return jnp.sum(weights * rnnt_loss_streaming(
+                e, p, w_, b_, labels, ilens, llens, 0, activation, chunk))
+
+        def ad(e, p, w_, b_):
+            return jnp.sum(weights * _rnnt_loss_streaming_ad(
+                e, p, w_, b_, labels, ilens, llens, 0, activation, chunk))
+
+        lf = fused(enc_j, pred_j, w, bias)
+        la = ad(enc_j, pred_j, w, bias)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(la),
+                                   rtol=1e-5, atol=1e-5)
+        gf = jax.grad(fused, argnums=(0, 1, 2, 3))(enc_j, pred_j, w, bias)
+        ga = jax.grad(ad, argnums=(0, 1, 2, 3))(enc_j, pred_j, w, bias)
+        for a, b_ in zip(gf, ga):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax.numpy as jnp
 
 # Additive mask value. Kept within XLA exp's safe range-reduction domain
@@ -40,7 +42,7 @@ class MultiHeadedAttention(nn.Module):
         self.linear_k = nn.Dense(self.n_feat, dtype=self.dtype)
         self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
         self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape

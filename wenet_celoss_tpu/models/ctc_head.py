@@ -8,6 +8,8 @@ torch.nn.CTCLoss).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax.numpy as jnp
 
 from wenet_celoss_tpu.ops.ctc_loss import ctc_loss
@@ -19,7 +21,7 @@ class CTC(nn.Module):
 
     def setup(self):
         self.ctc_lo = nn.Dense(self.vocab_size)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
 
     def __call__(self, hs_pad, hlens, ys_pad, ys_lens, *, deterministic=True):
         """Batch-mean CTC loss (reference normalizes the summed loss by

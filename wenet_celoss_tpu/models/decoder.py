@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -48,7 +50,7 @@ class DecoderLayer(nn.Module):
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
         if self.concat_after:
             self.concat_linear1 = nn.Dense(self.size)
             self.concat_linear2 = nn.Dense(self.size)

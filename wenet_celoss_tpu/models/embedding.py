@@ -11,6 +11,8 @@ save in checkpoints.
 from __future__ import annotations
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +45,7 @@ class PositionalEncoding(nn.Module):
     def __call__(self, x: jnp.ndarray, offset=0, *, deterministic: bool = True):
         pe = self.pos_emb(offset, x.shape[1]).astype(x.dtype)
         x = x * jnp.asarray(self.d_model**0.5, x.dtype) + pe
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout_rate, deterministic=deterministic)(x)
         return x, pe
 
 
@@ -63,7 +65,7 @@ class RelPositionalEncoding(nn.Module):
     def __call__(self, x: jnp.ndarray, offset=0, *, deterministic: bool = True):
         pe = self.pos_emb(offset, x.shape[1]).astype(x.dtype)
         x = x * jnp.asarray(self.d_model**0.5, x.dtype)
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout_rate, deterministic=deterministic)(x)
         return x, pe
 
 
@@ -76,5 +78,5 @@ class NoPositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, offset=0, *, deterministic: bool = True):
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout_rate, deterministic=deterministic)(x)
         return x, jnp.zeros((1, x.shape[1], self.d_model), x.dtype)

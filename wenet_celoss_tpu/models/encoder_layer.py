@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax.numpy as jnp
 
 from wenet_celoss_tpu.models.attention import (
@@ -34,7 +36,7 @@ class PositionwiseFeedForward(nn.Module):
         act = {"relu": nn.relu, "swish": nn.silu, "gelu": nn.gelu}[
             self.activation]
         h = act(nn.Dense(self.hidden_units, dtype=self.dtype)(x))
-        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        h = FastDropout(self.dropout_rate, deterministic=deterministic)(h)
         return nn.Dense(d, dtype=self.dtype)(h)
 
 
@@ -56,7 +58,7 @@ class TransformerEncoderLayer(nn.Module):
             self.linear_units, self.dropout_rate, dtype=self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
         if self.concat_after:
             self.concat_linear = nn.Dense(self.size)
 
@@ -137,7 +139,7 @@ class ConformerEncoderLayer(nn.Module):
             self.norm_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm_ff = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.norm_mha = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
         self.ff_scale = 0.5 if self.macaron_style else 1.0
 
     def __call__(self, x, att_mask, pos_emb, pad_mask=None, *,

@@ -20,6 +20,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -40,13 +42,13 @@ class RNNPredictor(nn.Module):
     def setup(self):
         assert self.rnn_type in ("lstm", "gru")
         self.embed = nn.Embed(self.voca_size, self.embed_size)
-        self.embed_drop = nn.Dropout(self.embed_dropout)
+        self.embed_drop = FastDropout(self.embed_dropout)
         cell_cls = nn.OptimizedLSTMCell if self.rnn_type == "lstm" \
             else nn.GRUCell
         self.cells = [cell_cls(features=self.hidden_size,
                                name=f"rnn_{i}")
                       for i in range(self.num_layers)]
-        self.inter_drop = nn.Dropout(self.dropout)
+        self.inter_drop = FastDropout(self.dropout)
         self.projection = nn.Dense(self.output_size, use_bias=self.bias)
 
     def init_state(self, batch_size: int) -> Dict[str, jnp.ndarray]:
@@ -64,14 +66,37 @@ class RNNPredictor(nn.Module):
             else:
                 carry0 = state["h"][i]
 
-            def step(carry, xt, cell=cell):
-                carry, out = cell(carry, xt)
-                return carry, out
+            if self.rnn_type == "lstm" and not self.is_initializing():
+                # Hoisted-input LSTM: the x-side gate projections for ALL
+                # U steps run as ONE [B*U, E] x [E, 4H] MXU matmul; only
+                # the h-recurrence stays sequential. Identical math and
+                # params as OptimizedLSTMCell (gate order i,f,g,o; bias
+                # on the hidden-side projections).
+                cp = cell.variables["params"]
+                wi = jnp.concatenate(
+                    [cp[g]["kernel"] for g in ("ii", "if", "ig", "io")], 1)
+                wh = jnp.concatenate(
+                    [cp[g]["kernel"] for g in ("hi", "hf", "hg", "ho")], 1)
+                bh = jnp.concatenate(
+                    [cp[g]["bias"] for g in ("hi", "hf", "hg", "ho")])
+                xw = x @ wi + bh                           # [B, U, 4H]
 
-            carry, out = nn.scan(
-                lambda cell, carry, xt: cell(carry, xt),
-                variable_broadcast="params", split_rngs={"params": False},
-                in_axes=1, out_axes=1, unroll=8)(cell, carry0, x)
+                def step(carry, xwt, wh=wh):
+                    c, h = carry
+                    z = xwt + h @ wh
+                    i_, f_, g_, o_ = jnp.split(z, 4, axis=-1)
+                    c2 = nn.sigmoid(f_) * c + nn.sigmoid(i_) * jnp.tanh(g_)
+                    h2 = nn.sigmoid(o_) * jnp.tanh(c2)
+                    return (c2, h2), h2
+
+                carry, out = jax.lax.scan(step, carry0,
+                                          jnp.swapaxes(xw, 0, 1), unroll=8)
+                out = jnp.swapaxes(out, 0, 1)
+            else:
+                carry, out = nn.scan(
+                    lambda cell, carry, xt: cell(carry, xt),
+                    variable_broadcast="params", split_rngs={"params": False},
+                    in_axes=1, out_axes=1, unroll=8)(cell, carry0, x)
             if self.rnn_type == "lstm":
                 new_c.append(carry[0])
                 new_h.append(carry[1])
@@ -130,7 +155,7 @@ class EmbeddingPredictor(nn.Module):
 
     def setup(self):
         self.embed = nn.Embed(self.voca_size, self.embed_size)
-        self.embed_drop = nn.Dropout(self.embed_dropout)
+        self.embed_drop = FastDropout(self.embed_dropout)
         # pos_embed weight [n_head * context, embed] viewed as
         # [n_head, embed, context] in the reference; keep the natural shape.
         self.pos_embed = self.param(
@@ -191,7 +216,7 @@ class ConvPredictor(nn.Module):
 
     def setup(self):
         self.embed = nn.Embed(self.voca_size, self.embed_size)
-        self.embed_drop = nn.Dropout(self.embed_dropout)
+        self.embed_drop = FastDropout(self.embed_dropout)
         self.conv = nn.Conv(self.embed_size, (self.context_size,),
                             padding="VALID", feature_group_count=self.embed_size,
                             use_bias=self.bias)

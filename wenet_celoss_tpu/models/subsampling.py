@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from wenet_celoss_tpu.models.fast_dropout import FastDropout
 import jax.numpy as jnp
 
 
@@ -29,7 +31,7 @@ class LinearNoSubsampling(nn.Module):
     def setup(self):
         self.out = nn.Dense(self.odim, dtype=self.dtype)
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.dropout = nn.Dropout(self.dropout_rate)
+        self.dropout = FastDropout(self.dropout_rate)
 
     def __call__(self, x, lengths, offset=0, *, deterministic=True):
         x = self.dropout(self.norm(self.out(x)), deterministic=deterministic)

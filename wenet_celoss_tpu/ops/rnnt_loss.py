@@ -295,31 +295,15 @@ def _planes_bwd(res, g):
 rnnt_loss_planes.defvjp(_planes_fwd, _planes_bwd)
 
 
-def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
-                        w_out: jnp.ndarray, b_out: jnp.ndarray,
-                        labels: jnp.ndarray, input_lengths: jnp.ndarray,
-                        label_lengths: jnp.ndarray, blank: int = 0,
-                        activation: str = "tanh",
-                        chunk: int = 16) -> jnp.ndarray:
-    """Transducer loss from PROJECTED joint streams — the [B, T, U+1, V]
-    joint tensor never exists in HBM.
-
-    Args:
-      enc_j:  [B, T, H]  encoder stream after the joint's enc projection.
-      pred_j: [B, U+1, H] predictor stream after the joint's pred projection.
-      w_out:  [H, V], b_out: [V] — the joint output layer.
-
-    The T axis is processed in chunks of ``chunk`` frames inside a
-    ``lax.scan``; each step computes act(enc+pred) @ W, reduces it to the
-    blank/emit log-prob planes, and drops it. ``jax.checkpoint`` on the
-    step makes the backward pass rematerialize the chunk instead of saving
-    it, so peak HBM is O(B·T·U) + O(B·chunk·U·V) transient, vs
-    O(B·T·U·V) for the materialized paths (reference materializes the full
-    joint: `wenet/transducer/joint.py:45-70` + torchaudio rnnt_loss).
-    FLOPs match `rnnt_loss_fused` (whose backward also recomputes the
-    softmax) — this trades nothing for the memory win, enabling much
-    larger B·T operating points on-chip.
-    """
+def _rnnt_loss_streaming_ad(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
+                            w_out: jnp.ndarray, b_out: jnp.ndarray,
+                            labels: jnp.ndarray, input_lengths: jnp.ndarray,
+                            label_lengths: jnp.ndarray, blank: int = 0,
+                            activation: str = "tanh",
+                            chunk: int = 16) -> jnp.ndarray:
+    """Autodiff reference implementation of the streaming-V loss (see
+    :func:`rnnt_loss_streaming`, the production custom-VJP version; this
+    one is kept for gradient parity tests)."""
     from wenet_celoss_tpu.utils.common import get_activation
     act = get_activation(activation)
     b, t_max, h = enc_j.shape
@@ -370,6 +354,197 @@ def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
     emit_lp = emit_chunks.swapaxes(0, 1).reshape(b, t_pad, u1)[:, :t_max]
     emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
     return rnnt_loss_planes(blank_lp, emit_lp, input_lengths, label_lengths)
+
+
+# ---------------------------------------------------------------------------
+# Production streaming-V loss: ONE fused custom VJP over the whole
+# (chunked joint → planes → lattice) composition.
+# ---------------------------------------------------------------------------
+
+
+def _act_pair(name: str):
+    """activation fn + its derivative as f(pre_activation, activation)."""
+    if name == "tanh":
+        return jnp.tanh, lambda pre, h: 1.0 - jnp.square(h)
+    if name == "relu":
+        return jax.nn.relu, lambda pre, h: (pre > 0).astype(h.dtype)
+    if name in ("swish", "silu"):
+        def d_swish(pre, h):
+            s = jax.nn.sigmoid(pre)
+            return s * (1.0 + pre * (1.0 - s))
+        return jax.nn.silu, d_swish
+    raise ValueError(f"unsupported joint activation: {name}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def rnnt_loss_streaming(enc_j: jnp.ndarray, pred_j: jnp.ndarray,
+                        w_out: jnp.ndarray, b_out: jnp.ndarray,
+                        labels: jnp.ndarray, input_lengths: jnp.ndarray,
+                        label_lengths: jnp.ndarray, blank: int = 0,
+                        activation: str = "tanh",
+                        chunk: int = 16) -> jnp.ndarray:
+    """Transducer loss from PROJECTED joint streams — the [B, T, U+1, V]
+    joint tensor never exists in HBM.
+
+    Args:
+      enc_j:  [B, T, H]  encoder stream after the joint's enc projection.
+      pred_j: [B, U+1, H] predictor stream after the joint's pred projection.
+      w_out:  [H, V], b_out: [V] — the joint output layer.
+
+    The T axis is processed in ``chunk``-frame slices inside a
+    ``lax.scan``: each step computes act(enc+pred) @ W (compute dtype on
+    the MXU, fp32 accumulation), reduces it to the blank/emit log-prob
+    planes + the per-cell logsumexp, and drops it — O(B·T·U) persistent
+    memory vs O(B·T·U·V) for the materialized paths (the reference
+    materializes the full joint: `wenet/transducer/joint.py:45-70` +
+    torchaudio rnnt_loss, `transducer.py:142`).
+
+    The WHOLE composition has one custom VJP: backward runs the beta
+    recursion, forms the transition occupancies, and emits dlogits
+    analytically per chunk (softmax recomputed from the SAVED logsumexp —
+    no max/lse recompute, no autodiff-of-scan bookkeeping):
+
+        dlogit[v] = -g * (occ_b * (1[v=blank] - p_v)
+                          + occ_e * (1[v=y_u] - p_v))
+    """
+    loss, _ = _streaming_fused_fwd(enc_j, pred_j, w_out, b_out, labels,
+                                   input_lengths, label_lengths, blank,
+                                   activation, chunk)
+    return loss
+
+
+def _streaming_chunked_planes(enc_j, pred_j, w_out, b_out, labels, blank,
+                              activation, chunk):
+    """Chunk scan → (blank_lp, emit_lp, lse) each [B, T_pad, U1] fp32,
+    plus static prep shared by fwd/bwd."""
+    act, _ = _act_pair(activation)
+    b, t_max, h = enc_j.shape
+    u1 = pred_j.shape[1]
+    u = u1 - 1
+    v = w_out.shape[1]
+    onehot = _label_onehot(labels[:, :u], u1, v, jnp.float32)  # [B, U1, V]
+
+    n_chunks = -(-t_max // chunk)
+    t_pad = n_chunks * chunk
+    enc_p = jnp.pad(enc_j, ((0, 0), (0, t_pad - t_max), (0, 0))) \
+        if t_pad != t_max else enc_j
+    enc_chunks = enc_p.reshape(b, n_chunks, chunk, h).swapaxes(0, 1)
+
+    b_f = b_out.astype(jnp.float32)
+    w_c = w_out.astype(enc_j.dtype)
+    pred_c = pred_j.astype(enc_j.dtype)
+
+    def step(carry, enc_c):
+        hidden = act(enc_c[:, :, None, :] + pred_c[:, None, :, :])
+        logits = jnp.einsum("btuh,hv->btuv", hidden, w_c,
+                            preferred_element_type=jnp.float32) + b_f
+        m = jnp.max(logits, axis=-1)
+        lse = jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)) + m
+        blank_c = logits[..., blank] - lse
+        emit_c = jnp.einsum("btuv,buv->btu", logits, onehot,
+                            preferred_element_type=jnp.float32) - lse
+        return carry, (blank_c, emit_c, lse)
+
+    _, (bc, ec, lc) = jax.lax.scan(step, 0., enc_chunks)
+
+    def unstack(x):                                  # [N,B,Tc,U1] → [B,Tp,U1]
+        return x.swapaxes(0, 1).reshape(b, t_pad, u1)
+
+    return (unstack(bc), unstack(ec), unstack(lc), onehot, enc_chunks,
+            t_pad, n_chunks)
+
+
+def _streaming_fused_fwd(enc_j, pred_j, w_out, b_out, labels, input_lengths,
+                         label_lengths, blank, activation, chunk):
+    b, t_max, _ = enc_j.shape
+    u1 = pred_j.shape[1]
+    u = u1 - 1
+    blank_lp, emit_lp, lse, _, _, _, _ = _streaming_chunked_planes(
+        enc_j, pred_j, w_out, b_out, labels, blank, activation, chunk)
+    blank_lp = blank_lp[:, :t_max]
+    emit_lp = emit_lp[:, :t_max].at[..., u].set(LOG_ZERO)
+    alpha = _alpha_scan(blank_lp, emit_lp)
+    t_lastv = jnp.maximum(input_lengths - 1, 0)
+    a_final = alpha[jnp.arange(b), t_lastv, label_lengths]
+    lp_final = blank_lp[jnp.arange(b), t_lastv, label_lengths]
+    loss = -(a_final + lp_final)
+    return loss, (enc_j, pred_j, w_out, b_out, labels, input_lengths,
+                  label_lengths, blank_lp, emit_lp, lse[:, :t_max], alpha)
+
+
+def _streaming_fused_bwd(blank, activation, chunk, res, g):
+    (enc_j, pred_j, w_out, b_out, labels, input_lengths, label_lengths,
+     blank_lp, emit_lp, lse, alpha) = res
+    act, act_grad = _act_pair(activation)
+    b, t_max, h = enc_j.shape
+    u1 = pred_j.shape[1]
+    v = w_out.shape[1]
+
+    occ_b, occ_e = _occupancies(blank_lp, emit_lp, alpha,
+                                input_lengths, label_lengths)
+    # Sign folded in: dL/dlogits = (gb+ge)·p - gb·1[blank] - ge·1[y_u]
+    # with gb = occ_b·g, ge = occ_e·g (L = -log-lik ⇒ d loss/d plane =
+    # -occ; the two minus signs cancel into this form).
+    gb = occ_b * g[:, None, None]
+    ge = occ_e * g[:, None, None]
+
+    onehot = _label_onehot(labels[:, :u1 - 1], u1, v, jnp.float32)
+    n_chunks = -(-t_max // chunk)
+    t_pad = n_chunks * chunk
+    if t_pad != t_max:
+        pad3 = ((0, 0), (0, t_pad - t_max), (0, 0))
+        enc_p = jnp.pad(enc_j, pad3)
+        gb, ge = jnp.pad(gb, pad3), jnp.pad(ge, pad3)
+        # Pad lse with +1e9 so p = exp(logits - lse) is exactly 0 on
+        # padded frames (0 * finite, never 0 * inf).
+        lse = jnp.pad(lse, pad3, constant_values=1e9)
+    else:
+        enc_p = enc_j
+    enc_chunks = enc_p.reshape(b, n_chunks, chunk, h).swapaxes(0, 1)
+    to_chunks = lambda x: x.reshape(b, n_chunks, chunk, u1).swapaxes(0, 1)
+    gb_c, ge_c, lse_c = to_chunks(gb), to_chunks(ge), to_chunks(lse)
+
+    dt = enc_j.dtype
+    w_c = w_out.astype(dt)
+    pred_c = pred_j.astype(dt)
+
+    def step(carry, xs):
+        dpred_acc, dw_acc, db_acc = carry
+        enc_c, gbc, gec, lsec = xs
+        pre = enc_c[:, :, None, :] + pred_c[:, None, :, :]
+        hidden = act(pre)
+        logits = jnp.einsum("btuh,hv->btuv", hidden, w_c,
+                            preferred_element_type=jnp.float32) \
+            + b_out.astype(jnp.float32)
+        p = jnp.exp(logits - lsec[..., None])          # softmax via saved lse
+        tot = (gbc + gec)[..., None]
+        dlogits = tot * p
+        dlogits = dlogits.at[..., blank].add(-gbc)
+        dlogits = dlogits - gec[..., None] * onehot[:, None, :, :]
+        dlogits_c = dlogits.astype(dt)
+        dpre = jnp.einsum("btuv,hv->btuh", dlogits_c, w_c,
+                          preferred_element_type=jnp.float32) \
+            * act_grad(pre, hidden).astype(jnp.float32)
+        denc_c = jnp.sum(dpre, axis=2)                  # [B, Tc, H] fp32
+        dpred_acc = dpred_acc + jnp.sum(dpre, axis=1)   # [B, U1, H] fp32
+        dw_acc = dw_acc + jnp.einsum("btuh,btuv->hv", hidden.astype(dt),
+                                     dlogits_c,
+                                     preferred_element_type=jnp.float32)
+        db_acc = db_acc + jnp.sum(dlogits, axis=(0, 1, 2))
+        return (dpred_acc, dw_acc, db_acc), denc_c
+
+    carry0 = (jnp.zeros((b, u1, h), jnp.float32),
+              jnp.zeros((h, v), jnp.float32),
+              jnp.zeros((v,), jnp.float32))
+    (dpred, dw, db), denc_chunks = jax.lax.scan(
+        step, carry0, (enc_chunks, gb_c, ge_c, lse_c))
+    denc = denc_chunks.swapaxes(0, 1).reshape(b, t_pad, h)[:, :t_max]
+    return (denc.astype(enc_j.dtype), dpred.astype(pred_j.dtype),
+            dw.astype(w_out.dtype), db.astype(b_out.dtype),
+            None, None, None)
+
+
+rnnt_loss_streaming.defvjp(_streaming_fused_fwd, _streaming_fused_bwd)
 
 
 @partial(jax.jit, static_argnames=("blank",))
