@@ -1,6 +1,8 @@
 """Golden-value tests: CTC loss vs torch.nn.functional.ctc_loss (CPU) and
 RNN-T loss vs an independent numpy DP."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -476,6 +478,82 @@ class TestRnntLossStreamingFusedVjp:
                                    rtol=1e-5, atol=1e-5)
         gf = jax.grad(fused, argnums=(0, 1, 2, 3))(enc_j, pred_j, w, bias)
         ga = jax.grad(ad, argnums=(0, 1, 2, 3))(enc_j, pred_j, w, bias)
+        for a, b_ in zip(gf, ga):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestStreamingJointPallas:
+    """Fused streaming-joint Pallas kernels (interpret mode on CPU) vs the
+    XLA chunk-scan planes and autodiff gradients."""
+
+    def _setup(self, seed=41, b=3, t=19, u=4, h=8, v=16):
+        rng = np.random.default_rng(seed)
+        enc_j = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+        pred_j = jnp.asarray(rng.standard_normal((b, u + 1, h)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((h, v)) * 0.5, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((v,)) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(1, v, (b, u)), jnp.int32)
+        ilens = jnp.array([19, 11, 5])
+        llens = jnp.array([4, 2, 0])
+        return enc_j, pred_j, w, bias, labels, ilens, llens
+
+    def test_fwd_planes_match_scan(self):
+        from wenet_celoss_tpu.ops.rnnt_loss import (
+            _label_onehot, _streaming_chunked_planes)
+        from wenet_celoss_tpu.ops.rnnt_pallas import \
+            streaming_joint_planes_fwd
+        enc_j, pred_j, w, bias, labels, _, _ = self._setup()
+        b, t, _ = enc_j.shape
+        u1 = pred_j.shape[1]
+        v = w.shape[1]
+        ref_b, ref_e, ref_l, _, _, _, _ = _streaming_chunked_planes(
+            enc_j, pred_j, w, bias, labels, 0, "tanh", 4)
+        onehot = _label_onehot(labels, u1, v, jnp.float32)
+        got_b, got_e, got_l = streaming_joint_planes_fwd(
+            enc_j, pred_j, w, bias, onehot, "tanh", 0, tt=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_b),
+                                   np.asarray(ref_b[:, :t]), rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_e),
+                                   np.asarray(ref_e[:, :t]), rtol=2e-5,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_l),
+                                   np.asarray(ref_l[:, :t]), rtol=2e-5,
+                                   atol=2e-5)
+
+    @pytest.mark.parametrize("activation", ["tanh", "swish"])
+    def test_bwd_matches_autodiff(self, activation, monkeypatch):
+        from wenet_celoss_tpu.ops import rnnt_loss as RL
+        from wenet_celoss_tpu.ops import rnnt_pallas as RP
+        enc_j, pred_j, w, bias, labels, ilens, llens = self._setup()
+        weights = jnp.array([0.7, 1.3, 0.2])
+
+        def ad(e, p, w_, b_):
+            return jnp.sum(weights * RL._rnnt_loss_streaming_ad(
+                e, p, w_, b_, labels, ilens, llens, 0, activation, 4))
+
+        ga = jax.grad(ad, argnums=(0, 1, 2, 3))(enc_j, pred_j, w, bias)
+
+        # Route the custom VJP through the pallas kernels in interpret
+        # mode (CPU) by patching the gate + kernel entry points.
+        monkeypatch.setattr(RL, "_use_streaming_pallas", lambda: True)
+        monkeypatch.setattr(
+            RP, "streaming_joint_planes_fwd",
+            partial(RP.streaming_joint_planes_fwd, tt=8, interpret=True))
+        monkeypatch.setattr(
+            RP, "streaming_joint_planes_bwd",
+            partial(RP.streaming_joint_planes_bwd, tt=8, interpret=True))
+
+        def fused(e, p, w_, b_):
+            return jnp.sum(weights * RL.rnnt_loss_streaming(
+                e, p, w_, b_, labels, ilens, llens, 0, activation, 4))
+
+        lf = fused(enc_j, pred_j, w, bias)
+        la = ad(enc_j, pred_j, w, bias)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(la),
+                                   rtol=1e-5, atol=1e-5)
+        gf = jax.grad(fused, argnums=(0, 1, 2, 3))(enc_j, pred_j, w, bias)
         for a, b_ in zip(gf, ga):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)

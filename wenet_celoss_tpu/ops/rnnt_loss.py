@@ -454,22 +454,39 @@ def _streaming_chunked_planes(enc_j, pred_j, w_out, b_out, labels, blank,
             t_pad, n_chunks)
 
 
+def _use_streaming_pallas() -> bool:
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("RNNT_STREAMING_PALLAS", "1") == "1")
+
+
 def _streaming_fused_fwd(enc_j, pred_j, w_out, b_out, labels, input_lengths,
                          label_lengths, blank, activation, chunk):
     b, t_max, _ = enc_j.shape
     u1 = pred_j.shape[1]
     u = u1 - 1
-    blank_lp, emit_lp, lse, _, _, _, _ = _streaming_chunked_planes(
-        enc_j, pred_j, w_out, b_out, labels, blank, activation, chunk)
-    blank_lp = blank_lp[:, :t_max]
-    emit_lp = emit_lp[:, :t_max].at[..., u].set(LOG_ZERO)
+    if _use_streaming_pallas():
+        from wenet_celoss_tpu.ops.rnnt_pallas import \
+            streaming_joint_planes_fwd
+        v = w_out.shape[1]
+        onehot = _label_onehot(labels[:, :u], u1, v, enc_j.dtype)
+        blank_lp, emit_lp, lse = streaming_joint_planes_fwd(
+            enc_j, pred_j.astype(enc_j.dtype), w_out.astype(enc_j.dtype),
+            b_out, onehot, activation, blank)
+    else:
+        blank_lp, emit_lp, lse, _, _, _, _ = _streaming_chunked_planes(
+            enc_j, pred_j, w_out, b_out, labels, blank, activation, chunk)
+        blank_lp = blank_lp[:, :t_max]
+        emit_lp = emit_lp[:, :t_max]
+        lse = lse[:, :t_max]
+    emit_lp = emit_lp.at[..., u].set(LOG_ZERO)
     alpha = _alpha_scan(blank_lp, emit_lp)
     t_lastv = jnp.maximum(input_lengths - 1, 0)
     a_final = alpha[jnp.arange(b), t_lastv, label_lengths]
     lp_final = blank_lp[jnp.arange(b), t_lastv, label_lengths]
     loss = -(a_final + lp_final)
     return loss, (enc_j, pred_j, w_out, b_out, labels, input_lengths,
-                  label_lengths, blank_lp, emit_lp, lse[:, :t_max], alpha)
+                  label_lengths, blank_lp, emit_lp, lse, alpha)
 
 
 def _streaming_fused_bwd(blank, activation, chunk, res, g):
@@ -487,6 +504,17 @@ def _streaming_fused_bwd(blank, activation, chunk, res, g):
     # -occ; the two minus signs cancel into this form).
     gb = occ_b * g[:, None, None]
     ge = occ_e * g[:, None, None]
+
+    if _use_streaming_pallas():
+        from wenet_celoss_tpu.ops.rnnt_pallas import \
+            streaming_joint_planes_bwd
+        onehot_c = _label_onehot(labels[:, :u1 - 1], u1, v, enc_j.dtype)
+        denc, dpred, dw, db = streaming_joint_planes_bwd(
+            enc_j, pred_j.astype(enc_j.dtype), w_out.astype(enc_j.dtype),
+            b_out, onehot_c, gb, ge, lse, activation, blank)
+        return (denc.astype(enc_j.dtype), dpred.astype(pred_j.dtype),
+                dw.astype(w_out.dtype), db.astype(b_out.dtype),
+                None, None, None)
 
     onehot = _label_onehot(labels[:, :u1 - 1], u1, v, jnp.float32)
     n_chunks = -(-t_max // chunk)

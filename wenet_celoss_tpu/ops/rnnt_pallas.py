@@ -229,3 +229,232 @@ def _pallas_bwd(blank, interpret, res, g):
 
 
 rnnt_loss_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused streaming-joint kernels: act(enc ⊕ pred) @ W → blank/emit/lse planes
+# (forward) and the analytic occupancy-weighted dlogits → (denc, dpred, dW,
+# db) (backward) — the [*, U1, V] logits tile lives ONLY in VMEM. Replaces
+# the XLA chunk scan inside ops/rnnt_loss.rnnt_loss_streaming on TPU, whose
+# fp32 logits/softmax transients cost ~2 GB of HBM traffic per 16-frame
+# chunk at B=256.
+# ---------------------------------------------------------------------------
+
+
+def _act_fwd(name, x):
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "relu":
+        return jnp.maximum(x, 0)
+    if name in ("swish", "silu"):
+        return x * jax.nn.sigmoid(x)
+    raise ValueError(name)
+
+
+def _act_deriv(name, pre, h):
+    if name == "tanh":
+        return 1.0 - h * h
+    if name == "relu":
+        return (pre > 0).astype(h.dtype)
+    s = jax.nn.sigmoid(pre)
+    return s * (1.0 + pre * (1.0 - s))
+
+
+def _joint_fwd_kernel(enc_ref, pred_ref, w_ref, oh_ref, b_ref,
+                      blank_ref, emit_ref, lse_ref, *, activation, blank,
+                      tt, u1p, h, v):
+    enc = enc_ref[0]                                   # [TT, H] bf16
+    pred = pred_ref[0]                                 # [U1P, H]
+    hidden = _act_fwd(activation,
+                      enc[:, None, :] + pred[None, :, :])   # [TT, U1P, H]
+    hidden2 = hidden.reshape(tt * u1p, h)
+    logits = jax.lax.dot_general(
+        hidden2, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0][None, :]
+    logits3 = logits.reshape(tt, u1p, v)
+    m = jnp.max(logits3, axis=-1)
+    lse = jnp.log(jnp.sum(jnp.exp(logits3 - m[..., None]), axis=-1)) + m
+    blank_lp = logits3[:, :, blank] - lse
+    emit_lp = jnp.sum(logits3 * oh_ref[0][None, :, :].astype(jnp.float32),
+                      axis=-1) - lse
+    blank_ref[0] = blank_lp
+    emit_ref[0] = emit_lp
+    lse_ref[0] = lse
+
+
+def _joint_bwd_kernel(enc_ref, pred_ref, w_ref, oh_ref, b_ref, gb_ref,
+                      ge_ref, lse_ref, denc_ref, dpred_ref, dw_ref, db_ref,
+                      *, activation, blank, tt, u1p, h, v):
+    enc = enc_ref[0]
+    pred = pred_ref[0]
+    pre = enc[:, None, :] + pred[None, :, :]           # [TT, U1P, H]
+    hidden = _act_fwd(activation, pre)
+    hidden2 = hidden.reshape(tt * u1p, h)
+    w = w_ref[:]
+    logits = jax.lax.dot_general(
+        hidden2, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0][None, :]
+    logits3 = logits.reshape(tt, u1p, v)
+    p = jnp.exp(logits3 - lse_ref[0][..., None])       # [TT, U1P, V] f32
+    gb = gb_ref[0]                                     # [TT, U1P] f32
+    ge = ge_ref[0]
+    dlogits = (gb + ge)[..., None] * p \
+        - ge[..., None] * oh_ref[0][None, :, :].astype(jnp.float32)
+    # blank column: dlogits[..., blank] -= gb  (blank is static)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tt, u1p, v), 2)
+    dlogits = jnp.where(col == blank, dlogits - gb[..., None], dlogits)
+    dlog2 = dlogits.reshape(tt * u1p, v).astype(w.dtype)
+    dpre2 = jax.lax.dot_general(
+        dlog2, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TT*U1P, H]
+    dpre = dpre2.reshape(tt, u1p, h) * _act_deriv(
+        activation, pre, hidden).astype(jnp.float32)
+    denc_ref[0] = jnp.sum(dpre, axis=1)                # [TT, H]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dpred_ref[0] = jnp.zeros((u1p, h), jnp.float32)
+
+    dpred_ref[0] += jnp.sum(dpre, axis=0)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[:] = jnp.zeros((h, v), jnp.float32)
+        db_ref[:] = jnp.zeros((1, v), jnp.float32)
+
+    dw_ref[:] += jax.lax.dot_general(
+        hidden2.astype(w.dtype), dlog2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(dlogits, axis=(0, 1))[None, :]
+
+
+def _pad_to(x, axis, mult, value=0.0):
+    n = x.shape[axis]
+    p = (-n) % mult
+    if p == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, p)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def streaming_joint_planes_fwd(enc_j, pred_j, w_out, b_out, onehot,
+                               activation: str, blank: int, tt: int = 16,
+                               interpret: bool = False):
+    """(blank_lp, emit_lp, lse) [B, T, U1] f32 via the fused Pallas kernel.
+
+    enc_j [B,T,H], pred_j [B,U1,H] (compute dtype), w_out [H,V] (compute
+    dtype), b_out [V] f32, onehot [B,U1,V] (compute dtype, row U all-zero).
+    """
+    b, t_max, h = enc_j.shape
+    u1 = pred_j.shape[1]
+    v = w_out.shape[1]
+    enc_p = _pad_to(enc_j, 1, tt)
+    t_p = enc_p.shape[1]
+    pred_p = _pad_to(pred_j, 1, 16)
+    oh_p = _pad_to(onehot, 1, 16)
+    u1p = pred_p.shape[1]
+    grid = (b, t_p // tt)
+    kern = partial(_joint_fwd_kernel, activation=activation, blank=blank,
+                   tt=tt, u1p=u1p, h=h, v=v)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tt, h), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, h), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, v), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, v), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tt, u1p), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, u1p), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, u1p), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_p, u1p), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_p, u1p), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_p, u1p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(enc_p, pred_p, w_out, oh_p, b_out.astype(jnp.float32)[None, :])
+    blank_lp, emit_lp, lse = (o[:, :t_max, :u1] for o in out)
+    return blank_lp, emit_lp, lse
+
+
+def streaming_joint_planes_bwd(enc_j, pred_j, w_out, b_out, onehot, gb, ge,
+                               lse, activation: str, blank: int,
+                               tt: int = 16, interpret: bool = False):
+    """Backward of the fused joint: returns (denc [B,T,H] f32,
+    dpred [B,U1,H] f32, dw [H,V] f32, db [V] f32). gb/ge must already be
+    0 on invalid cells; lse is re-padded internally with +1e9 so padded
+    rows contribute exactly 0."""
+    b, t_max, h = enc_j.shape
+    u1 = pred_j.shape[1]
+    v = w_out.shape[1]
+    enc_p = _pad_to(enc_j, 1, tt)
+    t_p = enc_p.shape[1]
+    pred_p = _pad_to(pred_j, 1, 16)
+    oh_p = _pad_to(onehot, 1, 16)
+    u1p = pred_p.shape[1]
+    def pad_tu(x, val=0.0):
+        x = _pad_to(x, 1, tt, val)
+        x = _pad_to(x, 2, 16, val)
+        return x
+    gb_p, ge_p = pad_tu(gb), pad_tu(ge)
+    lse_p = pad_tu(lse, 1e9)
+    grid = (b, t_p // tt)
+    kern = partial(_joint_bwd_kernel, activation=activation, blank=blank,
+                   tt=tt, u1p=u1p, h=h, v=v)
+    denc, dpred, dw, db = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tt, h), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, h), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, v), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, v), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, u1p), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, u1p), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, u1p), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tt, h), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, h), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, v), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v), lambda bb, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_p, h), jnp.float32),
+            jax.ShapeDtypeStruct((b, u1p, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ),
+        interpret=interpret,
+    )(enc_p, pred_p, w_out, oh_p, b_out.astype(jnp.float32)[None, :],
+      gb_p, ge_p, lse_p)
+    return (denc[:, :t_max], dpred[:, :u1], dw, db[0])
