@@ -24,6 +24,14 @@ from wenet_celoss_tpu.models.attention import (
 from wenet_celoss_tpu.models.convolution import ConvolutionModule
 
 
+def _use_ffn_pallas() -> bool:
+    import os
+
+    import jax
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("FFN_PALLAS", "1") == "1")
+
+
 class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float
@@ -33,11 +41,41 @@ class PositionwiseFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic=True):
         d = x.shape[-1]
+        dense1 = nn.Dense(self.hidden_units, dtype=self.dtype,
+                          name="Dense_0")
+        dense2 = nn.Dense(d, dtype=self.dtype, name="Dense_1")
+        # Fused Pallas path (TPU): matmul → act → on-core-PRNG dropout →
+        # matmul in one kernel; the [rows, hidden] activation and the
+        # random bits never touch HBM (ops/ffn_pallas.py).
+        if (not self.is_initializing() and x.ndim == 3
+                and self.activation in ("relu", "swish")
+                and _use_ffn_pallas()):
+            import jax
+            import jax.numpy as jnp
+
+            from wenet_celoss_tpu.ops.ffn_pallas import ffn_fused
+            rate = 0.0 if deterministic else self.dropout_rate
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            p1 = dense1.variables["params"]
+            p2 = dense2.variables["params"]
+            cdt = jnp.dtype(self.dtype) if self.dtype is not None \
+                else x.dtype
+            b, t, _ = x.shape
+            y = ffn_fused(x.reshape(b * t, d).astype(cdt),
+                          p1["kernel"].astype(cdt), p1["bias"],
+                          p2["kernel"].astype(cdt), p2["bias"],
+                          seed, self.activation, rate)
+            return y.reshape(b, t, d)
         act = {"relu": nn.relu, "swish": nn.silu, "gelu": nn.gelu}[
             self.activation]
-        h = act(nn.Dense(self.hidden_units, dtype=self.dtype)(x))
+        h = act(dense1(x))
         h = FastDropout(self.dropout_rate, deterministic=deterministic)(h)
-        return nn.Dense(d, dtype=self.dtype)(h)
+        return dense2(h)
 
 
 class TransformerEncoderLayer(nn.Module):
