@@ -33,8 +33,7 @@ class ConvolutionModule(nn.Module):
         if self.norm == "batch_norm":
             assert not self.causal, \
                 "causal streaming requires layer_norm (ref convolution.py:49)"
-            self.norm_layer = nn.BatchNorm(use_running_average=True,
-                                           momentum=0.9, epsilon=1e-5)
+            self.norm_layer = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         else:
             self.norm_layer = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.pointwise_conv2 = nn.Dense(self.channels,

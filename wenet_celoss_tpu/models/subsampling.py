@@ -43,6 +43,18 @@ def _conv_out_len(n, kernel=3, stride=2):
     return (n - kernel) // stride + 1
 
 
+def _ref_mask_len(n, stride):
+    """Valid length after one of the reference's mask-subsampling slices
+    (x_mask[:, :, :-2:2] / [:, :, :-4:3], reference
+    `wenet/transformer/subsampling.py:81-240`). The reference derives
+    output lengths by STRIDING THE PAD MASK, which counts
+    (L-1)//stride + 1 frames valid — slightly MORE than the conv-content
+    formula for partially-padded rows (the extra frames are computed from
+    zero padding but treated as valid downstream). Decode parity requires
+    matching this exactly; callers clip to the actual frame count."""
+    return (n - 1) // stride + 1
+
+
 class Conv2dSubsampling4(nn.Module):
     """Two stride-2 3x3 convs: rate 4, right_context 6."""
     odim: int
@@ -67,7 +79,7 @@ class Conv2dSubsampling4(nn.Module):
         b, t, f, c = h.shape
         h = self.out(h.reshape(b, t, f * c))
         h, pos_emb = self.pos_enc(h, offset, deterministic=deterministic)
-        new_len = _conv_out_len(_conv_out_len(lengths))
+        new_len = jnp.minimum(_ref_mask_len(_ref_mask_len(lengths, 2), 2), t)
         return h, pos_emb, new_len
 
 
@@ -94,8 +106,7 @@ class Conv2dSubsampling6(nn.Module):
         b, t, f, c = h.shape
         h = self.out(h.reshape(b, t, f * c))
         h, pos_emb = self.pos_enc(h, offset, deterministic=deterministic)
-        new_len = _conv_out_len(lengths, 3, 2)
-        new_len = _conv_out_len(new_len, 5, 3)
+        new_len = jnp.minimum(_ref_mask_len(_ref_mask_len(lengths, 2), 3), t)
         return h, pos_emb, new_len
 
 
@@ -125,7 +136,8 @@ class Conv2dSubsampling8(nn.Module):
         b, t, f, c = h.shape
         h = self.out(h.reshape(b, t, f * c))
         h, pos_emb = self.pos_enc(h, offset, deterministic=deterministic)
-        new_len = _conv_out_len(_conv_out_len(_conv_out_len(lengths)))
+        new_len = jnp.minimum(
+            _ref_mask_len(_ref_mask_len(_ref_mask_len(lengths, 2), 2), 2), t)
         return h, pos_emb, new_len
 
 
@@ -143,9 +155,9 @@ def subsampled_length(input_layer: str, lengths):
     if input_layer == "linear":
         return lengths
     if input_layer == "conv2d":
-        return _conv_out_len(_conv_out_len(lengths))
+        return _ref_mask_len(_ref_mask_len(lengths, 2), 2)
     if input_layer == "conv2d6":
-        return _conv_out_len(_conv_out_len(lengths, 3, 2), 5, 3)
+        return _ref_mask_len(_ref_mask_len(lengths, 2), 3)
     if input_layer == "conv2d8":
-        return _conv_out_len(_conv_out_len(_conv_out_len(lengths)))
+        return _ref_mask_len(_ref_mask_len(_ref_mask_len(lengths, 2), 2), 2)
     raise ValueError(input_layer)
