@@ -55,18 +55,19 @@ class Decoder:
         cache = self.model.apply(self.params, b,
                                  decoding_chunk_size * left,
                                  method="encoder_init_cache")
-        fwd = jax.jit(lambda xs, c: self.model.apply(
-            self.params, xs, c, method="encoder_forward_chunk_ctc"))
+        fwd = jax.jit(lambda xs, c, v: self.model.apply(
+            self.params, xs, c, v, method="encoder_forward_chunk_ctc"))
 
-        def fwd2(xs, c):
-            ys, ctc_lp, new_cache = fwd(xs, c)
+        def fwd2(xs, c, valid):
+            ys, ctc_lp, new_cache = fwd(xs, c, valid)
             return (ys, ctc_lp), new_cache
 
+        total_out = subsampled_length(enc.input_layer, feat_lens)
         (ys, ctc_lp), _ = forward_chunk_by_chunk(
-            fwd2, cache, feats, sub, rctx, decoding_chunk_size)
+            fwd2, cache, feats, sub, rctx, decoding_chunk_size,
+            out_lens=total_out)
         t_out = ys.shape[1]
-        out_lens = jnp.minimum(
-            subsampled_length(enc.input_layer, feat_lens), t_out)
+        out_lens = jnp.minimum(total_out, t_out)
         mask = jnp.arange(t_out)[None, :] < out_lens[:, None]
         return ys, mask, ctc_lp
 

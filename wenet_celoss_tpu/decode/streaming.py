@@ -31,15 +31,20 @@ def chunk_geometry(subsampling_rate: int, right_context: int,
 def forward_chunk_by_chunk(forward_chunk_fn: Callable, init_cache,
                            feats: jnp.ndarray,
                            subsampling_rate: int, right_context: int,
-                           decoding_chunk_size: int):
+                           decoding_chunk_size: int,
+                           out_lens: Optional[jnp.ndarray] = None):
     """Encode a full utterance chunk by chunk.
 
     Args:
-      forward_chunk_fn: (xs [B, window, F], cache) -> (ys [B, c, D], cache)
-        — typically ``jax.jit(lambda xs, c: model.apply(params, xs, c,
-        method='encoder_forward_chunk'))``.
+      forward_chunk_fn: (xs [B, window, F], cache[, chunk_valid]) ->
+        (ys [B, c, D], cache) — typically ``jax.jit(lambda xs, c, v:
+        model.apply(params, xs, c, v, method='encoder_forward_chunk'))``.
       init_cache: cache pytree from ``encoder_init_cache``.
       feats: [B, T, F] full features.
+      out_lens: optional [B] per-utterance total SUBSAMPLED output frames;
+        when given, each call receives chunk_valid [B] = valid output
+        frames of that chunk, so shorter utterances in the batch don't
+        attend to padding garbage inside their final chunk.
     Returns: (ys [B, T', D] concatenated outputs, final cache)
     """
     b, num_frames, _ = feats.shape
@@ -48,11 +53,18 @@ def forward_chunk_by_chunk(forward_chunk_fn: Callable, init_cache,
     outputs = []
     cache = init_cache
     cur = 0
+    k = 0
     while cur + window <= num_frames:
         chunk = jax.lax.dynamic_slice_in_dim(feats, cur, window, axis=1)
-        ys, cache = forward_chunk_fn(chunk, cache)
+        if out_lens is not None:
+            valid = jnp.clip(out_lens - k * decoding_chunk_size, 0,
+                             decoding_chunk_size)
+            ys, cache = forward_chunk_fn(chunk, cache, valid)
+        else:
+            ys, cache = forward_chunk_fn(chunk, cache)
         outputs.append(ys)
         cur += stride
+        k += 1
     if not outputs:
         raise ValueError(
             f"utterance too short for one chunk: {num_frames} < {window}")

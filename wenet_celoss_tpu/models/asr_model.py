@@ -131,9 +131,11 @@ class ASRModel(nn.Module):
     def encoder_init_cache(self, batch_size: int, required_cache_size: int):
         return self.encoder.init_cache(batch_size, required_cache_size)
 
-    def encoder_forward_chunk(self, xs, cache):
-        return self.encoder.forward_chunk(xs, cache)
+    def encoder_forward_chunk(self, xs, cache, chunk_valid=None):
+        return self.encoder.forward_chunk(xs, cache,
+                                          chunk_valid=chunk_valid)
 
-    def encoder_forward_chunk_ctc(self, xs, cache):
-        ys, new_cache = self.encoder.forward_chunk(xs, cache)
+    def encoder_forward_chunk_ctc(self, xs, cache, chunk_valid=None):
+        ys, new_cache = self.encoder.forward_chunk(
+            xs, cache, chunk_valid=chunk_valid)
         return ys, self.ctc.log_softmax(ys), new_cache

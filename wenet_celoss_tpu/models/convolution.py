@@ -41,9 +41,9 @@ class ConvolutionModule(nn.Module):
                                         dtype=self.dtype)
         self.lorder = self.kernel_size - 1 if self.causal else 0
 
-    def _conv_body(self, x, pad_mask, *, train: bool):
-        """x: [B, T_padded, C] already left/right padded for the kernel."""
-        y = self.depthwise_conv(x)
+    def _conv_body(self, h, *, train: bool):
+        """h: [B, T_padded, C] post-GLU, already padded for the kernel."""
+        y = self.depthwise_conv(h)
         if self.norm == "batch_norm":
             y = self.norm_layer(y, use_running_average=not train)
         else:
@@ -53,30 +53,45 @@ class ConvolutionModule(nn.Module):
 
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray | None = None,
                  *, train: bool = False) -> jnp.ndarray:
-        """x: [B, T, C]; pad_mask: [B, T] True at valid frames."""
+        """x: [B, T, C]; pad_mask: [B, T] True at valid frames.
+
+        Masking matches the reference exactly (`convolution.py:111-145`):
+        the RAW input is zeroed at padded frames (so after the biased
+        pointwise1 + GLU those frames carry GLU(bias), not zero), causal
+        left-padding happens in the raw domain, the non-causal depthwise
+        conv's own window padding is zero in the post-GLU domain, and the
+        OUTPUT is re-zeroed at padded frames.
+        """
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+        if self.causal:
+            x = jnp.pad(x, ((0, 0), (self.lorder, 0), (0, 0)))
         h = self.pointwise_conv1(x)
         h = nn.glu(h, axis=-1)
-        if pad_mask is not None:
-            h = jnp.where(pad_mask[..., None], h, 0.0)
-        if self.causal:
-            h = jnp.pad(h, ((0, 0), (self.lorder, 0), (0, 0)))
-        else:
+        if not self.causal:
             pad = (self.kernel_size - 1) // 2
             h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
-        return self._conv_body(h, pad_mask, train=train)
+        y = self._conv_body(h, train=train)
+        if pad_mask is not None:
+            y = jnp.where(pad_mask[..., None], y, 0.0)
+        return y
 
     def forward_with_cache(self, x: jnp.ndarray, cnn_cache: jnp.ndarray,
                            *, train: bool = False):
         """Streaming step (causal only).
 
+        The cache lives in the RAW input domain (last ``lorder`` frames of
+        the module input, reference `convolution.py:113-127`), so a zero
+        initial cache reproduces the reference's zero left-pad exactly.
+
         Args:
-          x: [B, T_chunk, C]; cnn_cache: [B, lorder, C] past activations.
+          x: [B, T_chunk, C]; cnn_cache: [B, lorder, C] raw input frames.
         Returns: (out [B, T_chunk, C], new_cache [B, lorder, C])
         """
         assert self.causal, "cache streaming only defined for causal conv"
-        h = self.pointwise_conv1(x)
-        h = nn.glu(h, axis=-1)
-        h_ext = jnp.concatenate([cnn_cache.astype(h.dtype), h], axis=1)
-        new_cache = h_ext[:, -self.lorder:, :] if self.lorder > 0 else \
+        x_ext = jnp.concatenate([cnn_cache.astype(x.dtype), x], axis=1)
+        new_cache = x_ext[:, -self.lorder:, :] if self.lorder > 0 else \
             jnp.zeros_like(cnn_cache)
-        return self._conv_body(h_ext, None, train=train), new_cache
+        h = self.pointwise_conv1(x_ext)
+        h = nn.glu(h, axis=-1)
+        return self._conv_body(h, train=train), new_cache

@@ -155,12 +155,18 @@ class BaseEncoder(nn.Module):
         return 0
 
     def forward_chunk(self, xs: jnp.ndarray, cache: dict, *,
-                      att_mask_right: Optional[jnp.ndarray] = None):
+                      chunk_valid: Optional[jnp.ndarray] = None):
         """One streaming chunk (reference `encoder.py:181-268`).
 
         Args:
           xs: [B, T_in, F] raw features for this chunk (with right context).
           cache: pytree from init_cache (traced through jit).
+          chunk_valid: optional [B] int — number of valid OUTPUT frames of
+            this chunk per utterance. Batched streaming feeds full windows
+            to every utterance; masking keys past each utterance's end
+            keeps its last valid frames from attending to padding garbage
+            (the reference streams batch=1 with a truncated final chunk,
+            `encoder.py:310-316`, so it never sees this case).
         Returns: (ys [B, T_out, D], new_cache)
         """
         xs = self._apply_cmvn(xs)
@@ -170,6 +176,12 @@ class BaseEncoder(nn.Module):
             offset=offset, deterministic=True)
         t_chunk = xs.shape[1]
         c = cache["att"].shape[3]
+        att_mask = None
+        if chunk_valid is not None:
+            cur_ok = jnp.arange(t_chunk)[None, :] < chunk_valid[:, None]
+            key_ok = jnp.concatenate(
+                [jnp.ones((xs.shape[0], c), bool), cur_ok], axis=1)
+            att_mask = key_ok[:, None, :]        # [B, 1(q), C+T]
         # Rel-pos table over (cache ++ chunk) keys.
         pos = (offset - c) + jnp.arange(c + t_chunk)
         pos_emb = sinusoid_table(pos[None, :], self.output_size
@@ -181,7 +193,7 @@ class BaseEncoder(nn.Module):
         for i, layer in enumerate(self.layers):
             xs, a, new_len, cnn = self._call_layer_with_cache(
                 layer, xs, cache["att"][i], att_len, cache["cnn"][i],
-                pos_emb)
+                pos_emb, att_mask)
             new_att.append(a)
             new_cnn.append(cnn)
         if self.normalize_before:
@@ -195,9 +207,9 @@ class BaseEncoder(nn.Module):
         return xs, new_cache
 
     def _call_layer_with_cache(self, layer, xs, att_cache, att_len,
-                               cnn_cache, pos_emb):
+                               cnn_cache, pos_emb, att_mask=None):
         out, new_att, new_len = layer.forward_with_cache(
-            xs, att_cache, att_len, None, pos_emb)
+            xs, att_cache, att_len, att_mask, pos_emb)
         return out, new_att, new_len, cnn_cache
 
 
@@ -249,12 +261,12 @@ class ConformerEncoder(BaseEncoder):
                      deterministic=deterministic, train=train)
 
     def _call_layer_with_cache(self, layer, xs, att_cache, att_len,
-                               cnn_cache, pos_emb):
+                               cnn_cache, pos_emb, att_mask=None):
         if self.use_cnn_module and not self.causal:
             raise NotImplementedError(
                 "streaming a conformer with a CNN module requires causal=True")
         return layer.forward_with_cache(
-            xs, att_cache, att_len, cnn_cache, None, pos_emb)
+            xs, att_cache, att_len, cnn_cache, att_mask, pos_emb)
 
 
 ENCODER_CLASSES = {
