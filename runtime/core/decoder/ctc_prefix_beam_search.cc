@@ -1,12 +1,41 @@
-// See header. Algorithm: per frame expand each prefix by (blank, repeat,
-// new token) cases over the first-beam top-k, merge into a hash map keyed
-// by prefix, prune to second beam by total (context-boosted) score.
+// See header. One frame = expand every beam slot against the pruned
+// vocabulary into stay/extend candidates keyed by trie node, merging
+// probability channels with log-add and viterbi channels with max, then
+// keep the best `second_beam_size` candidates by context-boosted score.
 #include "decoder/ctc_prefix_beam_search.h"
 
 #include <algorithm>
-#include <utility>
+#include <cmath>
 
 namespace wenet_tpu {
+
+void CtcPrefixBeamSearch::Beam::clear() {
+  node.clear();
+  lp_b.clear();
+  lp_t.clear();
+  vit_b.clear();
+  vit_t.clear();
+  tl_b.clear();
+  tl_t.clear();
+  last_lp.clear();
+  ctx_state.clear();
+  ctx_bonus.clear();
+}
+
+int CtcPrefixBeamSearch::Beam::emplace(int32_t node_id, int32_t ctx_state_id,
+                                       float ctx_bonus_v) {
+  node.push_back(node_id);
+  lp_b.push_back(kLogZero);
+  lp_t.push_back(kLogZero);
+  vit_b.push_back(kLogZero);
+  vit_t.push_back(kLogZero);
+  tl_b.push_back(-1);
+  tl_t.push_back(-1);
+  last_lp.push_back(kLogZero);
+  ctx_state.push_back(ctx_state_id);
+  ctx_bonus.push_back(ctx_bonus_v);
+  return static_cast<int>(node.size()) - 1;
+}
 
 CtcPrefixBeamSearch::CtcPrefixBeamSearch(
     const CtcPrefixBeamSearchOptions& opts,
@@ -16,163 +45,204 @@ CtcPrefixBeamSearch::CtcPrefixBeamSearch(
 }
 
 void CtcPrefixBeamSearch::Reset() {
-  abs_time_step_ = 0;
-  cur_hyps_.clear();
+  frame_ = 0;
+  trie_.assign(1, {-1, -1});  // node 0: empty prefix
+  children_.clear();
+  tstamps_.clear();
+  beam_.clear();
+  next_.clear();
+  slot_of_.clear();
+  int root = beam_.emplace(0, 0, 0.0f);
+  beam_.lp_b[root] = 0.0f;   // P(empty prefix) = 1, "ends blank"
+  beam_.vit_b[root] = 0.0f;
+  PruneAndPublish();  // publishes the empty hypothesis
+}
+
+int32_t CtcPrefixBeamSearch::Child(int32_t parent, int32_t token) {
+  uint64_t key = (static_cast<uint64_t>(parent) << 32) |
+                 static_cast<uint32_t>(token);
+  auto it = children_.find(key);
+  if (it != children_.end()) return it->second;
+  int32_t id = static_cast<int32_t>(trie_.size());
+  trie_.push_back({token, parent});
+  children_.emplace(key, id);
+  return id;
+}
+
+int32_t CtcPrefixBeamSearch::PushTime(int32_t prev_head, int32_t t) {
+  tstamps_.push_back({t, prev_head});
+  return static_cast<int32_t>(tstamps_.size()) - 1;
+}
+
+int32_t CtcPrefixBeamSearch::RetimeLast(int32_t head, int32_t t) {
+  if (head < 0) return head;
+  tstamps_.push_back({t, tstamps_[head].prev});
+  return static_cast<int32_t>(tstamps_.size()) - 1;
+}
+
+int CtcPrefixBeamSearch::StaySlot(int src) {
+  int32_t n = beam_.node[src];
+  auto it = slot_of_.find(n);
+  if (it != slot_of_.end()) return it->second;
+  // A stay candidate inherits the source prefix's context as-is.
+  int s = next_.emplace(n, beam_.ctx_state[src], beam_.ctx_bonus[src]);
+  slot_of_.emplace(n, s);
+  return s;
+}
+
+int CtcPrefixBeamSearch::ExtendSlot(int src, int32_t token) {
+  int32_t child = Child(beam_.node[src], token);
+  auto it = slot_of_.find(child);
+  if (it != slot_of_.end()) return it->second;
+  int32_t st = beam_.ctx_state[src];
+  float bonus = beam_.ctx_bonus[src];
+  if (context_graph_) {
+    float delta = 0.0f;
+    bool sb = false, eb = false;
+    st = context_graph_->GetNextState(st, token, &delta, &sb, &eb);
+    bonus += delta;
+  }
+  int s = next_.emplace(child, st, bonus);
+  slot_of_.emplace(child, s);
+  return s;
+}
+
+void CtcPrefixBeamSearch::ExpandFrame(const std::vector<float>& logp_t) {
+  std::vector<float> top_lp;
+  std::vector<int> top_tok;
+  TopK(logp_t, opts_.first_beam_size, &top_lp, &top_tok);
+
+  next_.clear();
+  slot_of_.clear();
+  for (int i = 0; i < static_cast<int>(beam_.size()); ++i) {
+    int32_t last = trie_[beam_.node[i]].token;  // -1 at the root
+    float total = beam_.total(i);
+    for (size_t k = 0; k < top_tok.size(); ++k) {
+      int32_t tok = top_tok[k];
+      float lp = top_lp[k];
+      if (tok == opts_.blank) {
+        // Prefix absorbs a blank frame: both channels fold into lp_b.
+        int s = StaySlot(i);
+        next_.lp_b[s] = LogAdd(next_.lp_b[s], total + lp);
+        float v = beam_.viterbi(i) + lp;
+        if (v > next_.vit_b[s]) {
+          next_.vit_b[s] = v;
+          next_.tl_b[s] = beam_.viterbi_times(i);
+        }
+      } else if (tok == last) {
+        // Same token again. Token-channel mass stays on this prefix...
+        int s = StaySlot(i);
+        float v = beam_.vit_t[i] + lp;
+        next_.lp_t[s] = LogAdd(next_.lp_t[s], beam_.lp_t[i] + lp);
+        if (v > next_.vit_t[s]) {
+          next_.vit_t[s] = v;
+          // The viterbi path may re-stamp its final emission if this
+          // frame's evidence is stronger.
+          if (lp > beam_.last_lp[i]) {
+            next_.last_lp[s] = lp;
+            next_.tl_t[s] = RetimeLast(beam_.tl_t[i], frame_);
+          } else {
+            next_.last_lp[s] = beam_.last_lp[i];
+            next_.tl_t[s] = beam_.tl_t[i];
+          }
+        }
+        // ...while blank-channel mass starts a doubled token.
+        int e = ExtendSlot(i, tok);
+        next_.lp_t[e] = LogAdd(next_.lp_t[e], beam_.lp_b[i] + lp);
+        float ve = beam_.vit_b[i] + lp;
+        if (ve > next_.vit_t[e]) {
+          next_.vit_t[e] = ve;
+          next_.last_lp[e] = lp;
+          next_.tl_t[e] = PushTime(beam_.tl_b[i], frame_);
+        }
+      } else {
+        // New token extends the prefix from either channel.
+        int e = ExtendSlot(i, tok);
+        next_.lp_t[e] = LogAdd(next_.lp_t[e], total + lp);
+        float ve = beam_.viterbi(i) + lp;
+        if (ve > next_.vit_t[e]) {
+          next_.vit_t[e] = ve;
+          next_.last_lp[e] = lp;
+          next_.tl_t[e] = PushTime(beam_.viterbi_times(i), frame_);
+        }
+      }
+    }
+  }
+}
+
+void CtcPrefixBeamSearch::PruneAndPublish() {
+  int n = static_cast<int>(beam_.size());
+  std::vector<int> order(n);
+  for (int i = 0; i < n; ++i) order[i] = i;
+  int keep = std::min(opts_.second_beam_size, n);
+  std::partial_sort(order.begin(), order.begin() + keep, order.end(),
+                    [this](int a, int b) {
+                      return beam_.ranked(a) > beam_.ranked(b);
+                    });
+  order.resize(keep);
+
+  Beam pruned;
+  for (int i : order) {
+    int s = pruned.emplace(beam_.node[i], beam_.ctx_state[i],
+                           beam_.ctx_bonus[i]);
+    pruned.lp_b[s] = beam_.lp_b[i];
+    pruned.lp_t[s] = beam_.lp_t[i];
+    pruned.vit_b[s] = beam_.vit_b[i];
+    pruned.vit_t[s] = beam_.vit_t[i];
+    pruned.tl_b[s] = beam_.tl_b[i];
+    pruned.tl_t[s] = beam_.tl_t[i];
+    pruned.last_lp[s] = beam_.last_lp[i];
+  }
+  beam_ = std::move(pruned);
+
   hypotheses_.clear();
-  outputs_.clear();
   likelihood_.clear();
   viterbi_likelihood_.clear();
   times_.clear();
-  PrefixScore empty;
-  empty.s = 0.0f;
-  empty.v_s = 0.0f;
-  empty.has_context = context_graph_ != nullptr;
-  cur_hyps_[std::vector<int>()] = empty;
-  UpdateHypotheses({{std::vector<int>(), empty}});
-}
-
-static bool PrefixScoreCompare(
-    const std::pair<std::vector<int>, PrefixScore>& a,
-    const std::pair<std::vector<int>, PrefixScore>& b) {
-  return a.second.total_score() > b.second.total_score();
+  for (int i = 0; i < static_cast<int>(beam_.size()); ++i) {
+    hypotheses_.push_back(MaterializePrefix(beam_.node[i]));
+    likelihood_.push_back(beam_.ranked(i));
+    viterbi_likelihood_.push_back(beam_.viterbi(i));
+    times_.push_back(MaterializeTimes(beam_.viterbi_times(i)));
+  }
+  outputs_ = hypotheses_;  // CTC ids == output ids (no WFST relabeling)
 }
 
 void CtcPrefixBeamSearch::Search(
     const std::vector<std::vector<float>>& logp) {
-  if (logp.empty()) return;
   for (const auto& logp_t : logp) {
-    std::unordered_map<std::vector<int>, PrefixScore, PrefixHash> next_hyps;
-    // First beam: prune vocabulary.
-    std::vector<float> top_values;
-    std::vector<int> top_indices;
-    TopK(logp_t, opts_.first_beam_size, &top_values, &top_indices);
-
-    for (const auto& it : cur_hyps_) {
-      const std::vector<int>& prefix = it.first;
-      const PrefixScore& prefix_score = it.second;
-      for (size_t k = 0; k < top_indices.size(); ++k) {
-        int id = top_indices[k];
-        float prob = top_values[k];
-        if (id == opts_.blank) {
-          // Case 0: *a + ε => *a  (ends blank)
-          PrefixScore& next = next_hyps[prefix];
-          next.s = LogAdd(next.s, prefix_score.score() + prob);
-          float v = prefix_score.viterbi_score() + prob;
-          if (v > next.v_s) {
-            next.v_s = v;
-            next.times_s = prefix_score.times();
-          }
-          if (!next.has_context) {
-            next.CopyContext(prefix_score);
-            next.has_context = true;
-          }
-        } else if (!prefix.empty() && id == prefix.back()) {
-          // Case 1: *a + a => *a  (repeat, from non-blank channel)
-          PrefixScore& next = next_hyps[prefix];
-          next.ns = LogAdd(next.ns, prefix_score.ns + prob);
-          if (prefix_score.v_ns + prob > next.v_ns) {
-            next.v_ns = prefix_score.v_ns + prob;
-            if (prob > prefix_score.cur_token_prob) {
-              next.cur_token_prob = prob;
-              next.times_ns = prefix_score.times_ns;
-              if (!next.times_ns.empty())
-                next.times_ns.back() = abs_time_step_;
-            } else {
-              next.cur_token_prob = prefix_score.cur_token_prob;
-              next.times_ns = prefix_score.times_ns;
-            }
-          }
-          if (!next.has_context) {
-            next.CopyContext(prefix_score);
-            next.has_context = true;
-          }
-          // Case 2: *a + a => *aa (via blank channel)
-          std::vector<int> new_prefix(prefix);
-          new_prefix.push_back(id);
-          PrefixScore& next2 = next_hyps[new_prefix];
-          next2.ns = LogAdd(next2.ns, prefix_score.s + prob);
-          if (prefix_score.s + prob > next2.v_ns) {
-            next2.v_ns = prefix_score.v_s + prob;
-            next2.cur_token_prob = prob;
-            next2.times_ns = prefix_score.times_s;
-            next2.times_ns.push_back(abs_time_step_);
-          }
-          if (context_graph_ && !next2.has_context) {
-            next2.UpdateContext(context_graph_, prefix_score, id);
-            next2.has_context = true;
-          }
-        } else {
-          // Case 3: *a + b => *ab
-          std::vector<int> new_prefix(prefix);
-          new_prefix.push_back(id);
-          PrefixScore& next = next_hyps[new_prefix];
-          next.ns = LogAdd(next.ns, prefix_score.score() + prob);
-          float v = prefix_score.viterbi_score() + prob;
-          if (v > next.v_ns) {
-            next.v_ns = v;
-            next.cur_token_prob = prob;
-            next.times_ns = prefix_score.times();
-            next.times_ns.push_back(abs_time_step_);
-          }
-          if (context_graph_ && !next.has_context) {
-            next.UpdateContext(context_graph_, prefix_score, id);
-            next.has_context = true;
-          }
-        }
-      }
-    }
-
-    // Second beam prune.
-    std::vector<std::pair<std::vector<int>, PrefixScore>> arr(
-        next_hyps.begin(), next_hyps.end());
-    int beam = std::min<int>(opts_.second_beam_size,
-                             static_cast<int>(arr.size()));
-    std::nth_element(arr.begin(), arr.begin() + beam - 1, arr.end(),
-                     PrefixScoreCompare);
-    arr.resize(beam);
-    std::sort(arr.begin(), arr.end(), PrefixScoreCompare);
-
-    cur_hyps_.clear();
-    for (auto& p : arr) cur_hyps_[p.first] = p.second;
-    UpdateHypotheses(arr);
-    ++abs_time_step_;
+    ExpandFrame(logp_t);
+    std::swap(beam_, next_);
+    PruneAndPublish();
+    ++frame_;
   }
 }
 
-void CtcPrefixBeamSearch::UpdateHypotheses(
-    const std::vector<std::pair<std::vector<int>, PrefixScore>>& hyps) {
-  hypotheses_.clear();
-  likelihood_.clear();
-  viterbi_likelihood_.clear();
-  times_.clear();
-  for (const auto& p : hyps) {
-    hypotheses_.push_back(p.first);
-    likelihood_.push_back(p.second.total_score());
-    viterbi_likelihood_.push_back(p.second.viterbi_score());
-    times_.push_back(p.second.times());
-  }
-  UpdateOutputs();
-}
-
-void CtcPrefixBeamSearch::UpdateOutputs() {
-  // CTC tokens == output tokens here (no WFST ilabel shift).
-  outputs_ = hypotheses_;
-}
-
-void CtcPrefixBeamSearch::UpdateFinalContext() {
+void CtcPrefixBeamSearch::FinalizeSearch() {
   if (!context_graph_) return;
-  // Refund dangling partial-match boosts (reference :215-234).
-  for (auto& it : cur_hyps_) {
-    it.second.context_score +=
-        context_graph_->FinalScore(it.second.context_state);
-    it.second.context_state = 0;
+  // Return dangling partial-match boosts to the root (backoff refund).
+  for (size_t i = 0; i < beam_.size(); ++i) {
+    beam_.ctx_bonus[i] += context_graph_->FinalScore(beam_.ctx_state[i]);
+    beam_.ctx_state[i] = 0;
   }
-  std::vector<std::pair<std::vector<int>, PrefixScore>> arr(
-      cur_hyps_.begin(), cur_hyps_.end());
-  std::sort(arr.begin(), arr.end(), PrefixScoreCompare);
-  UpdateHypotheses(arr);
+  PruneAndPublish();
 }
 
-void CtcPrefixBeamSearch::FinalizeSearch() { UpdateFinalContext(); }
+std::vector<int> CtcPrefixBeamSearch::MaterializePrefix(
+    int32_t node_id) const {
+  std::vector<int> out;
+  for (int32_t n = node_id; n > 0; n = trie_[n].parent)
+    out.push_back(trie_[n].token);
+  std::reverse(out.begin(), out.end());
+  return out;
+}
+
+std::vector<int> CtcPrefixBeamSearch::MaterializeTimes(int32_t head) const {
+  std::vector<int> out;
+  for (int32_t h = head; h >= 0; h = tstamps_[h].prev)
+    out.push_back(tstamps_[h].t);
+  std::reverse(out.begin(), out.end());
+  return out;
+}
 
 }  // namespace wenet_tpu

@@ -85,11 +85,14 @@ class Decoder:
         return ctc_greedy.ctc_greedy_search(ctc_lp, mask)
 
     def ctc_prefix_beam_search(self, feats, feat_lens, beam: int = 10,
-                               **kw):
+                               first_beam: Optional[int] = None, **kw):
         enc, mask, ctc_lp = self._encode(feats, feat_lens, **kw)
         lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+        # Reference `_ctc_prefix_beam_search` prunes the vocabulary to
+        # beam_size each frame (asr_model.py:377); match by default.
         res = ctc_prefix_beam.ctc_prefix_beam_search(
-            ctc_lp, lens, beam=beam, first_beam=max(beam, 10))
+            ctc_lp, lens, beam=beam,
+            first_beam=first_beam if first_beam else beam)
         return ctc_prefix_beam.nbest_to_lists(res, 1), res, enc, mask
 
     def attention(self, feats, feat_lens, beam: int = 10,
@@ -202,7 +205,8 @@ class Decoder:
                         init1, enc_empty_biased[i:i + 1],
                         enc_biased[i:i + 1], enc_bias[i:i + 1],
                         int(enc_lens[i]), blank=model.blank,
-                        n_steps=n_steps)
+                        n_steps=n_steps,
+                        loss_mode=getattr(model, "loss_mode", "both"))
                 all_hyps.append(hyps_i)
                 all_gates.append(gates_i)
                 glens.append(len(gates_i))

@@ -120,15 +120,29 @@ def ctc_prefix_beam_search(ctc_log_probs: jnp.ndarray,
             last_tok[..., None], axis=2)[..., 0]        # [B, BM]
 
         # ---- "keep" candidates: same prefix continues --------------------
-        keep_pb = jnp.logaddexp(state.pb, state.pnb) + lp_blank[:, None]
-        keep_pnb = jnp.where(has_tok, state.pnb + lp_last, LOG_ZERO)
+        # Reference semantics: the blank-continue / repeat-continue cases
+        # only fire when blank / the prefix's last token survived the
+        # first-beam vocabulary prune (`asr_model.py:378-391` iterates the
+        # top-k set only). With first_beam >= V this is a no-op.
+        blank_in = jnp.any(topi == blank, axis=1)            # [B]
+        last_in = jnp.any(topi[:, None, :] == last_tok[..., None],
+                          axis=2)                            # [B, BM]
+        keep_pb = jnp.where(
+            blank_in[:, None],
+            jnp.logaddexp(state.pb, state.pnb) + lp_blank[:, None],
+            LOG_ZERO)
+        keep_pnb = jnp.where(has_tok & last_in, state.pnb + lp_last,
+                             LOG_ZERO)
         # Viterbi channels (reference PrefixScore v_b/v_nb,
         # `ctc_prefix_beam_search.h:38-80`): blank continue may come from
         # either channel; a repeat continue only from the non-blank one.
-        keep_vit_b = jnp.maximum(state.vit_b, state.vit_nb) \
-            + lp_blank[:, None]
+        keep_vit_b = jnp.where(
+            blank_in[:, None],
+            jnp.maximum(state.vit_b, state.vit_nb) + lp_blank[:, None],
+            LOG_ZERO)
         keep_vit_b_from_nb = state.vit_nb > state.vit_b      # [B, BM]
-        keep_vit_nb = jnp.where(has_tok, state.vit_nb + lp_last, LOG_ZERO)
+        keep_vit_nb = jnp.where(has_tok & last_in, state.vit_nb + lp_last,
+                                LOG_ZERO)
 
         # ---- "extend" candidates: append top-k token c -------------------
         # [B, BM, K]
@@ -189,8 +203,9 @@ def ctc_prefix_beam_search(ctc_log_probs: jnp.ndarray,
         # cur_token_prob per candidate + whether the nb path refreshes the
         # last token's time this frame (reference
         # `ctc_prefix_beam_search.cc:150-166`: repeat improves emission).
-        keep_refresh = has_tok & (lp_last > state.ctp)
-        keep_ctp = jnp.maximum(state.ctp, lp_last)
+        keep_refresh = has_tok & last_in & (lp_last > state.ctp)
+        keep_ctp = jnp.where(last_in, jnp.maximum(state.ctp, lp_last),
+                             state.ctp)
         cand_ctp = jnp.concatenate([keep_ctp, flat(cand_lp)], axis=1)
         cand_refresh = jnp.concatenate(
             [keep_refresh, jnp.zeros((b, bm * first_beam), bool)], axis=1)

@@ -42,7 +42,10 @@ def rnnt_greedy_search(predictor_step: Callable, joint_step: Callable,
     """
     b, t_max, _ = encoder_out.shape
     if u_max <= 0:
-        u_max = 2 * t_max
+        # True emission bound (the reference emits up to n_steps tokens per
+        # frame, greedy_search.py:421-430); a smaller cap silently truncates
+        # degenerate hyps and breaks reference parity.
+        u_max = n_steps * t_max
     pred0, state0 = predictor_step(jnp.full((b,), blank, jnp.int32),
                                    init_state, jnp.zeros((b,), jnp.int32))
     buf0 = jnp.zeros((b, u_max), jnp.int32)
@@ -157,7 +160,10 @@ def rnnt_gated_greedy_search(predictor_step: Callable,
         predictor_bias_step_empty = lambda p: (p, p)
     b, t_max, _ = encoder_out.shape
     if u_max <= 0:
-        u_max = 2 * t_max
+        # True emission bound (the reference emits up to n_steps tokens per
+        # frame, greedy_search.py:421-430); a smaller cap silently truncates
+        # degenerate hyps and breaks reference parity.
+        u_max = n_steps * t_max
     pred0, state0 = predictor_step(jnp.full((b,), blank, jnp.int32),
                                    init_state, jnp.zeros((b,), jnp.int32))
     buf0 = jnp.zeros((b, u_max), jnp.int32)
@@ -222,7 +228,8 @@ def rnnt_gated_greedy_search_exact(predictor_step: Callable,
                                    encoder_out_empty, encoder_out_biased,
                                    enc_bias, encoder_len: int,
                                    blank: int = 0, n_steps: int = 4,
-                                   gate_on: bool = True):
+                                   gate_on: bool = True,
+                                   loss_mode: str = "pred"):
     """EXACT-parity re-implementation of the fork's backtracking gated
     greedy decode (reference `wenet/transducer/search/greedy_search.py:
     34-176`), one utterance per call (batch dim 1 throughout).
@@ -302,10 +309,22 @@ def rnnt_gated_greedy_search_exact(predictor_step: Callable,
                         go_back_flag = 0
             else:
                 result.append(1)
-            if result[-1] == 1:
-                pred_sel, _ = predictor_bias_step_empty(pred_out_step)
+            if loss_mode == "pred":
+                # 'pred'-mode CROSSES streams (greedy_search.py:141-144):
+                # gate 1 pairs the real-biased encoder with the EMPTY-
+                # biased predictor and vice versa.
+                if result[-1] == 1:
+                    pred_sel, _ = predictor_bias_step_empty(pred_out_step)
+                else:
+                    pred_sel, _ = predictor_bias_step(pred_out_step)
             else:
-                pred_sel, _ = predictor_bias_step(pred_out_step)
+                # 'both'-mode keeps streams aligned
+                # (greedy_search.py:396-408): gate 1 → real-biased
+                # encoder+predictor, gate 0 → empty-biased pair.
+                if result[-1] == 1:
+                    pred_sel, _ = predictor_bias_step(pred_out_step)
+                else:
+                    pred_sel, _ = predictor_bias_step_empty(pred_out_step)
 
         enc_sel = enc_t_biased if result[-1] == 1 else enc_t_empty
         logits = joint_step(enc_sel, pred_sel)
