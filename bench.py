@@ -1,19 +1,106 @@
 """Benchmark: training throughput of the flagship conformer-RNN-T + bias
 model on one chip, in audio-seconds per second per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus an
+"mfu" key: model-FLOPs utilisation from XLA's own cost analysis of the
+compiled step against the chip's bf16 peak).
 The reference publishes no in-tree throughput numbers (BASELINE.md), so
 vs_baseline is reported against this project's own recorded baseline when
 BENCH_BASELINE.json exists, else 1.0.
+
+``--decode`` instead benchmarks batched decode throughput (ctc_greedy
+over the full-context encoder, and transducer greedy), one JSON line per
+mode — BASELINE.json asks for train AND decode numbers.
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# bf16 peak matmul throughput per chip, for the MFU estimate.
+_PEAK_FLOPS = {"v5e": 197e12, "v5p": 459e12, "v4": 275e12}
+
+
+def _peak() -> float:
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    return _PEAK_FLOPS.get(gen, 197e12)
+
+
+def _vs_baseline(value: float, key: str = "value") -> float:
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                base = json.load(f).get(key, 0.0)
+            if base > 0:
+                return value / base
+        except Exception:
+            pass
+    return 1.0
+
+
+def bench_decode():
+    """Batched decode throughput on one chip: audio-s/s for ctc_greedy
+    (full-context encoder + frame argmax) and rnnt_greedy (encoder + the
+    frame-scan emit loop). Synthetic fbank input; decode math identical
+    to recognize.py's batched searches."""
+    from wenet_celoss_tpu.configs import conformer_rnnt_bias
+    from wenet_celoss_tpu.decode.api import Decoder
+    from wenet_celoss_tpu.models.factory import init_model
+    from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
+
+    configure_tpu_runtime()
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)
+    cfg["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = init_model(cfg)
+
+    b = int(os.environ.get("BENCH_DECODE_BATCH", "64"))
+    t = int(os.environ.get("BENCH_FRAMES", "512"))
+    rng = np.random.default_rng(0)
+    v = cfg["output_dim"]
+    feats = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    lens = jnp.full((b,), t, jnp.int32)
+    init_args = (feats[:2], lens[:2],
+                 jnp.asarray(rng.integers(1, v - 2, (2, 8)), jnp.int32),
+                 jnp.full((2,), 8, jnp.int32),
+                 jnp.asarray(rng.integers(1, v - 2, (4, 3)), jnp.int32),
+                 jnp.full((4,), 3, jnp.int32),
+                 jnp.asarray(rng.integers(0, 2, (2, 8)), jnp.int32))
+    variables = model.init(jax.random.PRNGKey(0), *init_args)
+    dec = Decoder(model, variables)
+
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    audio_s = b * t * 0.01
+
+    def run(mode, fn):
+        fn()  # warmup/compile
+        rates = []
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            dt = time.perf_counter() - t0
+            rates.append(audio_s * iters / dt)
+        rates.sort()
+        value = rates[len(rates) // 2]
+        print(json.dumps({
+            "metric": f"decode_throughput_{mode}",
+            "value": round(value, 2),
+            "unit": "audio-seconds/s/chip",
+            "vs_baseline": round(_vs_baseline(value), 3),
+        }))
+
+    # hyps come back as host lists — the conversion IS the sync point
+    # (block_until_ready is unreliable on the axon platform; see sync()).
+    run("ctc_greedy", lambda: dec.ctc_greedy_search(feats, lens))
+    run("rnnt_greedy",
+        lambda: dec.rnnt_greedy_search(feats, lens, n_steps=4))
 
 
 def main():
@@ -83,6 +170,17 @@ def main():
     state, m = step(state, key)
     sync(state, m)
 
+    # XLA's own FLOP count of the compiled step, for the MFU figure.
+    flops_per_step = 0.0
+    try:
+        cost = train_step.lower(state, batch, key).compile() \
+            .cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
     # Median of probe-synced windows (never best-of: a window whose
     # block returned early would report impossible FLOP rates).
     iters = int(os.environ.get("BENCH_ITERS", "8"))
@@ -99,22 +197,20 @@ def main():
     rates.sort()
     value = rates[len(rates) // 2]
 
-    vs = 1.0
-    if os.path.exists("BENCH_BASELINE.json"):
-        try:
-            with open("BENCH_BASELINE.json") as f:
-                base = json.load(f).get("value", 0.0)
-            if base > 0:
-                vs = value / base
-        except Exception:
-            pass
-    print(json.dumps({
+    rec = {
         "metric": "train_throughput_conformer_rnnt_bias",
         "value": round(value, 2),
         "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(vs, 3),
-    }))
+        "vs_baseline": round(_vs_baseline(value), 3),
+    }
+    if flops_per_step > 0:
+        steps_per_s = value / (b * t * 0.01)
+        rec["mfu"] = round(flops_per_step * steps_per_s / _peak(), 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    main()
+    if "--decode" in sys.argv:
+        bench_decode()
+    else:
+        main()

@@ -6,8 +6,24 @@
 # one-process-per-GPU loop (run.sh:122-160).
 set -eo pipefail
 
+SCRIPT_DIR=$(cd "$(dirname "$0")" && pwd)
+REPO=$(cd "${SCRIPT_DIR}/../.." && pwd)
+cd "${SCRIPT_DIR}"
+export PYTHONPATH=${REPO}${PYTHONPATH:+:${PYTHONPATH}}
+tools=${REPO}/tools
+runtime=${REPO}/runtime
+
 stage=0
 stop_stage=6
+smoke=false            # --smoke: synthetic mini data, tiny model, all stages
+
+for arg in "$@"; do
+  case $arg in
+    --smoke) smoke=true ;;
+    --stage=*) stage=${arg#*=} ;;
+    --stop_stage=*) stop_stage=${arg#*=} ;;
+  esac
+done
 
 data=${LIBRISPEECH_DATA:-/data/librispeech}   # extracted LibriSpeech tree
 dir=exp/conformer_rnnt_bias
@@ -19,20 +35,55 @@ bpe_model=data/lang_char/train_960_unigram5000.model
 dict=data/lang_char/train_960_unigram5000_units.txt
 decode_modes="ctc_greedy_search ctc_prefix_beam_search attention_rescoring rnnt_greedy_search"
 average_num=30
+spm_vocab=5000
+num_epochs=""
+train_extra=()
 
-. tools/parse_options.sh 2>/dev/null || true
+if [ "${smoke}" = true ]; then
+  dir=exp/smoke
+  train_sets="train-clean-100"
+  test_sets="test-clean"
+  average_num=1
+  spm_vocab=60
+  num_epochs=2
+  # shrink every tower; static batching keeps the smoke deterministic
+  for ov in "encoder_conf.num_blocks 2" "encoder_conf.output_size 64" \
+      "encoder_conf.attention_heads 2" "encoder_conf.linear_units 64" \
+      "encoder_conf.cnn_module_kernel 7" "decoder_conf.num_blocks 1" \
+      "decoder_conf.r_num_blocks 1" "decoder_conf.attention_heads 2" \
+      "decoder_conf.linear_units 64" "predictor_conf.embed_size 64" \
+      "predictor_conf.output_size 64" "predictor_conf.hidden_size 64" \
+      "predictor_conf.num_layers 1" "joint_conf.join_dim 64" \
+      "context_conf.embedding_size 64" "context_conf.attention_heads 2" \
+      "context_conf.linear_units 64" "context_conf.num_block 1" \
+      "context_conf.unified_hw_odim 16" \
+      "dataset_conf.batch_conf.batch_type static" \
+      "dataset_conf.batch_conf.batch_size 4" \
+      "dataset_conf.filter_conf.min_length 0" \
+      "dataset_conf.fbank_conf.dither 0.0" "dtype float32" \
+      "scheduler_conf.warmup_steps 4" "accum_grad 1"; do
+    train_extra+=(--override_config "${ov}")
+  done
+fi
+
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
-  echo "stage 0: prepare wav.scp/text from the LibriSpeech tree"
-  for part in ${train_sets} ${dev_set} ${test_sets}; do
-    pdir=data/${part}
-    mkdir -p ${pdir}
-    find ${data}/${part} -name '*.flac' -o -name '*.wav' | sort | \
-      awk -F/ '{key=$NF; sub(/\.(flac|wav)$/, "", key); print key, $0}' \
-      > ${pdir}/wav.scp
-    find ${data}/${part} -name '*.trans.txt' | sort | xargs cat | \
-      sort > ${pdir}/text
-  done
+  if [ "${smoke}" = true ]; then
+    echo "stage 0: generate synthetic smoke data"
+    python ${tools}/make_smoke_data.py --out_dir data \
+      --parts ${train_sets} ${dev_set} ${test_sets}
+  else
+    echo "stage 0: prepare wav.scp/text from the LibriSpeech tree"
+    for part in ${train_sets} ${dev_set} ${test_sets}; do
+      pdir=data/${part}
+      mkdir -p ${pdir}
+      find ${data}/${part} -name '*.flac' -o -name '*.wav' | sort | \
+        awk -F/ '{key=$NF; sub(/\.(flac|wav)$/, "", key); print key, $0}' \
+        > ${pdir}/wav.scp
+      find ${data}/${part} -name '*.trans.txt' | sort | xargs cat | \
+        sort > ${pdir}/text
+    done
+  fi
 fi
 
 if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
@@ -50,11 +101,12 @@ if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
   echo "         reference recipe stage 2 / tools/spm_train)"
   mkdir -p data/lang_char
   if [ ! -f ${bpe_model} ]; then
-    # Lowercase transcripts (strip utt keys) → unigram subword model.
-    cut -d' ' -f2- data/train_960/text | tr '[:upper:]' '[:lower:]' \
-      > data/lang_char/input.txt
-    python tools/spm_train.py --input data/lang_char/input.txt \
-      --vocab_size 5000 --model_prefix ${bpe_model%.model}
+    # Transcripts (strip utt keys) → unigram subword model. Case is kept
+    # as-is, matching the reference recipe (LibriSpeech text is
+    # uppercase; ref run.sh:103-105).
+    cut -d' ' -f2- data/train_960/text > data/lang_char/input.txt
+    python ${tools}/spm_train.py --input data/lang_char/input.txt \
+      --vocab_size ${spm_vocab} --model_prefix ${bpe_model%.model}
   fi
   if [ ! -f ${dict} ]; then
     {
@@ -68,7 +120,7 @@ if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
   fi
   echo "stage 2b: data.list (raw jsonl; use tools/make_shard_list.py for UIO shards)"
   for part in train_960 ${dev_set} ${test_sets}; do
-    python tools/make_raw_list.py data/${part}/wav.scp data/${part}/text \
+    python ${tools}/make_raw_list.py data/${part}/wav.scp data/${part}/text \
       data/${part}/data.list
   done
 fi
@@ -84,6 +136,8 @@ if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
     --symbol_table ${dict} \
     --bpe_model ${bpe_model} \
     --cmvn data/train_960/global_cmvn \
+    ${num_epochs:+--num_epochs ${num_epochs}} \
+    "${train_extra[@]}" \
     --model_dir ${dir}
 fi
 
@@ -104,7 +158,7 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
         --bpe_model ${bpe_model} \
         --mode ${mode} \
         --result_file ${out}/text
-      python tools/compute_wer.py data/${test_set}/text ${out}/text \
+      python ${tools}/compute_wer.py data/${test_set}/text ${out}/text \
         > ${out}/wer
     done
   done
@@ -123,11 +177,13 @@ fi
 
 if [ ${stage} -le 6 ] && [ ${stop_stage} -ge 6 ]; then
   echo "stage 6: C++ runtime decode (RTF)"
-  cmake -S runtime/core -B runtime/build -G Ninja >/dev/null
-  ninja -C runtime/build >/dev/null
-  ./runtime/build/decoder_main \
-    --wav_scp data/test-clean/wav.scp \
+  cmake -S ${runtime}/core -B ${runtime}/build -G Ninja >/dev/null
+  ninja -C ${runtime}/build >/dev/null
+  ${runtime}/build/decoder_main \
+    --wav_scp data/$(echo ${test_sets} | awk '{print $1}')/wav.scp \
     --symbol_table ${dir}/export/units.txt \
+    --num_bins $(grep -A5 'fbank_conf' ${dir}/train.yaml | grep num_mel_bins | awk '{print $2}') \
     --worker_cmd "$(cat ${dir}/export/worker_cmd.txt)" \
-    --result ${dir}/runtime_test_clean.text
+    --result ${dir}/runtime_decode.text
+  echo "runtime decode results:"; cat ${dir}/runtime_decode.text
 fi

@@ -12,7 +12,10 @@ from wenet_celoss_tpu.parallel import train as T
 
 
 @pytest.mark.parametrize("maker", [
-    C.conformer_rnnt_bias, C.conformer_ctc_aed, C.u2pp_conformer])
+    # the full rnnt+bias step compiles ~2min on CPU; the flagship path is
+    # also covered by test_parallel's graft-entry tests and the dryrun
+    pytest.param(C.conformer_rnnt_bias, marks=pytest.mark.slow),
+    C.conformer_ctc_aed, C.u2pp_conformer])
 def test_config_builds_and_steps(maker):
     cfg = maker(input_dim=16, vocab_size=32, tiny=True)
     model = init_model(cfg)

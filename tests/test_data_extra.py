@@ -1,6 +1,7 @@
 """Tests for wav distortion, kaldi IO, and the context filter."""
 
 import io
+import os
 import random
 
 import numpy as np
@@ -65,6 +66,47 @@ class TestKaldiIO:
         scp.write_text("\n".join(scp_lines))
         items2 = dict(kaldi_io.read_scp(str(scp)))
         np.testing.assert_allclose(items2["u2"], m2)
+
+    def test_compressed_mat_roundtrip(self, tmp_path):
+        """CM/CM2/CM3 write → read lands within one quantization step."""
+        rng = np.random.default_rng(3)
+        m = (rng.standard_normal((17, 9)) * 4.0).astype(np.float32)
+        for fmt, tol in (("CM", None), ("CM2", None), ("CM3", None)):
+            p = tmp_path / f"{fmt}.ark"
+            with open(p, "wb") as f:
+                kaldi_io.write_cmat(f, m, key="u", fmt=fmt)
+            items = dict(kaldi_io.read_ark(str(p)))
+            got = items["u"]
+            assert got.shape == m.shape
+            grange = float(m.max() - m.min())
+            step = {"CM2": grange / 65535.0, "CM3": grange / 255.0,
+                    "CM": grange / 63.0}[fmt]
+            np.testing.assert_allclose(got, m, atol=step * 1.01)
+
+    def test_compressed_mat_matches_reference_reader(self, tmp_path):
+        """The reference's own kaldi_io decodes our CM ark to the exact
+        same floats (byte-level format compatibility, reference
+        wenet/dataset/kaldi_io.py:431-480)."""
+        ref_path = "/root/reference/wenet/dataset/kaldi_io.py"
+        if not os.path.exists(ref_path):
+            pytest.skip("reference tree not mounted")
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("ref_kaldi_io",
+                                                      ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        rng = np.random.default_rng(5)
+        m = (rng.standard_normal((23, 7)) * 3.0).astype(np.float32)
+        p = tmp_path / "cm.ark"
+        with open(p, "wb") as f:
+            kaldi_io.write_cmat(f, m, key="u", fmt="CM")
+        ours = dict(kaldi_io.read_ark(str(p)))["u"]
+        with open(p, "rb") as f:
+            key = b""
+            while (c := f.read(1)) != b" ":
+                key += c
+            theirs = ref.read_mat(f)
+        np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-6)
 
     def test_vec_roundtrip(self, tmp_path):
         v = np.arange(7, dtype=np.float32)

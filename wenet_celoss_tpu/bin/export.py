@@ -20,6 +20,7 @@ covers the reference's runtime deployment surface.
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 
 import numpy as np
@@ -77,22 +78,29 @@ def main():
               "wb") as f:
         f.write(exp.serialize())
 
-    # 2. Streaming chunk step with caches.
-    cache = model.apply(variables, b,
-                        args.chunk_size * args.num_left_chunks,
-                        method="encoder_init_cache")
+    # 2. Streaming chunk step with caches (only for streamable encoders —
+    # a non-causal conformer conv has no cache formulation).
+    streamable = not (getattr(model.encoder, "use_cnn_module", False)
+                      and not getattr(model.encoder, "causal", False))
+    if streamable:
+        cache = model.apply(variables, b,
+                            args.chunk_size * args.num_left_chunks,
+                            method="encoder_init_cache")
 
-    def chunk_step(xs, cache):
-        return model.apply(variables, xs, cache,
-                           method="encoder_forward_chunk_ctc")
+        def chunk_step(xs, cache):
+            return model.apply(variables, xs, cache,
+                               method="encoder_forward_chunk_ctc")
 
-    exp2 = jax_export.export(jax.jit(chunk_step))(
-        jax.ShapeDtypeStruct((b, window, feat_dim), jnp.float32),
-        jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), cache))
-    with open(os.path.join(args.output_dir,
-                           "encoder_chunk_ctc.stablehlo"), "wb") as f:
-        f.write(exp2.serialize())
+        exp2 = jax_export.export(jax.jit(chunk_step))(
+            jax.ShapeDtypeStruct((b, window, feat_dim), jnp.float32),
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), cache))
+        with open(os.path.join(args.output_dir,
+                               "encoder_chunk_ctc.stablehlo"), "wb") as f:
+            f.write(exp2.serialize())
+    else:
+        logging.warning("encoder is a non-causal conformer: skipping the "
+                        "streaming chunk artifact (full-context only)")
 
     # 3. Attention rescoring scores.
     n, u = args.beam, args.max_hyp_len
@@ -125,9 +133,10 @@ def main():
         "feat_dim": feat_dim,
         "vocab_size": configs["output_dim"],
         "sos": int(model.sos), "eos": int(model.eos),
-        "artifacts": ["encoder_ctc.stablehlo",
-                      "encoder_chunk_ctc.stablehlo",
-                      "decoder_scores.stablehlo", "params.mspk"],
+        "artifacts": (["encoder_ctc.stablehlo"]
+                      + (["encoder_chunk_ctc.stablehlo"] if streamable
+                         else [])
+                      + ["decoder_scores.stablehlo", "params.mspk"]),
     }
     with open(os.path.join(args.output_dir, "manifest.yaml"), "w") as f:
         yaml.dump(manifest, f)

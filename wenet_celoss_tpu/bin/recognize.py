@@ -59,6 +59,12 @@ def get_args():
                         help="'on': batched jit gate-consistent decode; "
                              "'exact': reference-exact backtracking repair "
                              "loop (greedy_search.py:110-137)")
+    parser.add_argument("--sharded", action="store_true",
+                        help="SPMD batch decode: shard each batch over "
+                             "all devices (data axis); GSPMD partitions "
+                             "the encode + batched searches and inserts "
+                             "the collectives. Batches are padded to the "
+                             "mesh size and the padding rows dropped.")
     return parser.parse_args()
 
 
@@ -135,12 +141,35 @@ def main():
         with open(args.context_dict, "rb") as f:
             context_dict = pickle.load(f)
 
+    mesh = None
+    if args.sharded:
+        from wenet_celoss_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(model_parallel=1)
+        logging.info("sharded decode over %d devices", mesh.size)
+
     os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     gate_dists = []
     with open(args.result_file, "w", encoding="utf8") as fout:
         for batch in iter(dataset):
             feats = jnp.asarray(batch["feats"])
             feat_lens = jnp.asarray(batch["feat_lengths"])
+            n_real = feats.shape[0]
+            if mesh is not None:
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as P)
+                pad = (-n_real) % mesh.size
+                if pad:
+                    feats = jnp.concatenate(
+                        [feats, jnp.zeros((pad,) + feats.shape[1:],
+                                          feats.dtype)])
+                    feat_lens = jnp.concatenate(
+                        [feat_lens,
+                         jnp.full((pad,), feats.shape[1],
+                                  feat_lens.dtype)])
+                import jax
+                sh = NamedSharding(mesh, P("data"))
+                feats = jax.device_put(feats, sh)
+                feat_lens = jax.device_put(feat_lens, sh)
             ctx, ctx_lens = context_list, context_lengths
             if context_dict is not None:
                 rows = [[0]] + [list(r) for r in
@@ -203,6 +232,7 @@ def main():
             else:
                 raise ValueError(args.mode)
 
+            hyps = hyps[:n_real]   # drop mesh-evenness padding rows
             for key, hyp in zip(batch["keys"], hyps):
                 content = "".join(id2sym.get(t, "<unk>") for t in hyp)
                 content = content.replace("▁", " ").strip()

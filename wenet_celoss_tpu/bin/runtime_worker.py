@@ -68,9 +68,22 @@ class Worker:
             + self.right_context + 1
         self.stride = self.chunk_size * self.subsampling_rate
 
-        self._fwd = jax.jit(lambda xs, cache: self.model.apply(
-            self.variables, xs, cache,
-            method="encoder_forward_chunk_ctc"))
+        # Non-causal conformers have no conv-cache streaming formulation;
+        # serve them by recomputing the chunk-masked full prefix each
+        # chunk and emitting only the new frames (quadratic in utterance
+        # length, exact; the reference's --simulate_streaming analog).
+        self.streamable = not (getattr(enc, "use_cnn_module", False)
+                               and not getattr(enc, "causal", False))
+        if self.streamable:
+            self._fwd = jax.jit(lambda xs, cache: self.model.apply(
+                self.variables, xs, cache,
+                method="encoder_forward_chunk_ctc"))
+        else:
+            left = self.num_left_chunks if self.num_left_chunks > 0 else -1
+            self._fwd_full = jax.jit(
+                lambda xs, lens: self.model.apply(
+                    self.variables, xs, lens, self.chunk_size, left,
+                    method="encode_ctc"))
         self.is_transducer = hasattr(self.model, "predictor") and \
             self.model.predictor is not None
         if self.is_transducer:
@@ -101,6 +114,10 @@ class Worker:
         self.encoder_outs = []
         self.greedy_carry = None
         self.greedy_consumed = 0
+        # non-streamable fallback state
+        self.full_buffer = np.zeros((0, self.configs["input_dim"]),
+                                    np.float32)
+        self.emitted = 0
 
     def meta(self) -> dict:
         return {
@@ -114,6 +131,8 @@ class Worker:
         """Append raw frames; process every complete window; return the new
         subsampled CTC log-probs. A final short tail (signalled by an empty
         feats array) is zero-padded to the window."""
+        if not self.streamable:
+            return self._forward_chunk_full(feats)
         if feats.shape[0] > 0:
             self.feat_buffer = np.concatenate(
                 [self.feat_buffer, feats.reshape(feats.shape[0], -1)],
@@ -138,6 +157,42 @@ class Worker:
             return np.concatenate(outs, axis=0)
         dim_v = self.configs["output_dim"]
         return np.zeros((0, dim_v), np.float32)
+
+    def _forward_chunk_full(self, feats: np.ndarray) -> np.ndarray:
+        """Non-streamable fallback: chunk-masked full forward over the
+        whole accumulated prefix, emitting frames past what was already
+        returned. Lengths are padded to stride multiples so jit compiles a
+        bounded set of programs."""
+        flush = feats.shape[0] == 0
+        if not flush:
+            self.full_buffer = np.concatenate(
+                [self.full_buffer, feats.reshape(feats.shape[0], -1)],
+                axis=0)
+        n = self.full_buffer.shape[0]
+        # frames the subsampler can fully see (right context consumed)
+        usable = n if flush else (n - self.right_context)
+        ready = (usable - (self.emitted * self.subsampling_rate)) \
+            >= self.stride
+        if not (ready or (flush and n > self.right_context)):
+            return np.zeros((0, self.configs["output_dim"]), np.float32)
+        pad_t = -(-n // self.stride) * self.stride
+        xs = np.zeros((1, pad_t, self.full_buffer.shape[1]), np.float32)
+        xs[0, :n] = self.full_buffer
+        ys, mask, ctc_lp = self._fwd_full(
+            self.jnp.asarray(xs), self.jnp.asarray([n], np.int32))
+        valid = int(np.asarray(mask[0]).sum())
+        if not flush:
+            # hold back frames whose conv window peeks past the buffer
+            full_frames = max(
+                (usable - self.right_context) // self.subsampling_rate, 0)
+            valid = min(valid, full_frames)
+        if valid <= self.emitted:
+            return np.zeros((0, self.configs["output_dim"]), np.float32)
+        new_lp = np.asarray(ctc_lp[0][self.emitted:valid])
+        new_ys = np.asarray(ys[0][self.emitted:valid])
+        self.encoder_outs.append(new_ys)
+        self.emitted = valid
+        return new_lp
 
     def greedy_new_tokens(self) -> list:
         """Incrementally transducer-greedy-decode encoder frames produced

@@ -34,7 +34,16 @@ def get_args():
     parser.add_argument("--override_config", action="append", default=[])
     parser.add_argument("--cmvn", default=None)
     parser.add_argument("--num_epochs", type=int, default=None)
+    parser.add_argument("--step_checkpoint_interval", type=int, default=0,
+                        help="save a full-state step_<n>.state every N "
+                             "optimizer steps (mid-epoch kill/resume)")
     parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--metrics_file", default=None,
+                        help="per-logged-step metrics JSONL (default "
+                             "<model_dir>/metrics.jsonl)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of the first "
+                             "train epoch to this dir")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize()")
     parser.add_argument("--enc_init", default=None,
@@ -103,12 +112,18 @@ def main():
             yaml.dump(configs, f)
 
     model = init_model(configs)
-    # Init params from one synthetic batch shape.
+    # Init params from one synthetic batch shape (incl. the context tower
+    # when the config enables biasing — params must exist before the first
+    # real batch arrives with hotword tensors).
     rng = np.random.default_rng(0)
     ex = (np.zeros((2, 64, configs["input_dim"]), np.float32),
           np.array([64, 64], np.int32),
           rng.integers(1, vocab_size - 1, (2, 8)).astype(np.int32),
           np.array([8, 8], np.int32))
+    if configs.get("context", "nobias") != "nobias":
+        ex = ex + (rng.integers(1, vocab_size - 1, (3, 2)).astype(np.int32),
+                   np.array([2, 2, 2], np.int32),
+                   rng.integers(0, 2, (2, 8)).astype(np.int32))
     variables = model.init(jax.random.PRNGKey(777), *[np.asarray(a)
                                                       for a in ex])
 
@@ -116,7 +131,16 @@ def main():
     state = T.create_train_state(model, variables, tx)
 
     start_epoch, start_step = 0, 0
-    if args.checkpoint:
+    resume_rng = None
+    if args.checkpoint and args.checkpoint.endswith(".state"):
+        # Full-state mid-epoch resume: params + optimizer + step + rng.
+        state = ckpt.load_train_state(state, args.checkpoint)
+        infos = ckpt.load_checkpoint_infos(args.checkpoint)
+        start_epoch = infos.get("epoch", 0)
+        start_step = int(state.step)
+        if "rng" in infos:
+            resume_rng = np.asarray(infos["rng"], np.uint32)
+    elif args.checkpoint:
         params = ckpt.load_checkpoint(state.params, args.checkpoint)
         infos = ckpt.load_checkpoint_infos(args.checkpoint)
         start_epoch = infos.get("epoch", -1) + 1
@@ -129,17 +153,55 @@ def main():
                                            [m.rstrip(".") for m in mods])
         state = state.replace(params=params)
 
+    # Place the whole train state on the mesh: weights matched by the
+    # model-axis rules shard over 'model' (tensor parallel), the rest
+    # replicate — the DDP-broadcast analog (ref train.py:138-144).
+    from wenet_celoss_tpu.parallel.mesh import shard_state
+    state = shard_state(mesh, state)
+
+    def step_checkpoint(st, rng, _dir=args.model_dir):
+        if rank != 0:
+            return
+        n = int(st.step)
+        ckpt.save_train_state(
+            st, os.path.join(_dir, f"step_{n}.state"),
+            {"step": n, "epoch": epoch_holder[0],
+             "rng": np.asarray(rng).tolist()})
+
+    epoch_holder = [start_epoch]
+    metrics_writer = None
+    if rank == 0:
+        import json
+        metrics_path = args.metrics_file or os.path.join(
+            args.model_dir, "metrics.jsonl")
+        os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+        metrics_f = open(metrics_path, "a", buffering=1)
+
+        def metrics_writer(rec):
+            metrics_f.write(json.dumps(rec) + "\n")
+
     executor = Executor(model, tx, schedule, mesh,
                         accum_grad=configs.get("accum_grad", 1),
-                        log_interval=configs.get("log_interval", 100))
+                        log_interval=configs.get("log_interval", 100),
+                        checkpoint_every=args.step_checkpoint_interval,
+                        checkpoint_fn=step_checkpoint,
+                        metrics_writer=metrics_writer)
     executor.step = start_step
+    if resume_rng is not None:
+        import jax.numpy as jnp
+        executor.rng = jnp.asarray(resume_rng, jnp.uint32)
 
     num_epochs = args.num_epochs or configs.get("max_epoch", 100)
     final_epoch = None
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     for epoch in range(start_epoch, num_epochs):
+        epoch_holder[0] = epoch
         train_dataset.set_epoch(epoch)
         logging.info("Epoch %d TRAIN", epoch)
         state = executor.train_epoch(state, iter(train_dataset), epoch)
+        if args.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
         logging.info("Epoch %d CV", epoch)
         cv_loss = executor.cv(state, iter(cv_dataset))
         logging.info("Epoch %d CV loss %.4f", epoch, cv_loss)
@@ -151,6 +213,7 @@ def main():
                  "step": int(state.step),
                  "lr": float(schedule(max(int(state.step), 1)))})
         final_epoch = epoch
+    ckpt.wait_pending()
     if final_epoch is not None and rank == 0:
         final = os.path.join(args.model_dir, "final.ckpt")
         if os.path.islink(final) or os.path.exists(final):

@@ -34,6 +34,7 @@ class Dataset:
         self.partition = partition
         self.rank = rank
         self.world_size = world_size
+        self.symbol_table = symbol_table
         self.tokenizer = Tokenizer(
             symbol_table, bpe_model, non_lang_syms,
             conf.get("split_with_space", False))
@@ -100,6 +101,16 @@ class Dataset:
             data = processor.static_batch(
                 data, batch_conf.get("batch_size", 16))
         pad_conf = dict(conf.get("pad_conf", {}))
+        if conf.get("context_mode", 0) == 1 and \
+                "bpe_start_ids" not in pad_conf:
+            # Mode-1 hotword sampling needs word-start token ids. BPE
+            # pieces mark starts with '▁' (the reference reads these from
+            # bpe_dict, processor.py:591-640); char-level vocabularies
+            # have no marker, so every token starts a word.
+            starts = {i for tok, i in self.symbol_table.items()
+                      if tok.startswith("▁")}
+            pad_conf["bpe_start_ids"] = (starts or
+                                         set(self.symbol_table.values()))
         data = processor.padding(
             data,
             feat_buckets=conf.get("feat_buckets"),

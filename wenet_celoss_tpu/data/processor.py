@@ -203,12 +203,28 @@ def compute_fbank(data: Iterable[Dict], num_mel_bins: int = 23,
 
 def spec_aug(data: Iterable[Dict], num_t_mask: int = 2, num_f_mask: int = 2,
              max_t: int = 50, max_f: int = 10, max_w: int = 80,
+             warp_for_time: bool = False,
              rng: Optional[random.Random] = None) -> Iterator[Dict]:
-    """SpecAugment time/freq masking in place (reference :411-446)."""
+    """SpecAugment time/freq masking in place (reference :411-446).
+
+    ``warp_for_time`` additionally applies SpecAugment's time warp: a
+    random anchor in [max_w, T-max_w) is displaced by up to ±max_w and the
+    two segments are linearly resampled (the reference yaml exposes the
+    flag but its processor ignores it; here it is functional)."""
     rng = rng or random
     for sample in data:
         y = sample["feat"].copy()
         t_max, f_max = y.shape
+        if warp_for_time and t_max > 2 * max_w:
+            center = rng.randint(max_w, t_max - max_w - 1)
+            warped = center + rng.randint(-max_w + 1, max_w - 1)
+            src_pos = np.concatenate([
+                np.linspace(0, center, warped, endpoint=False),
+                np.linspace(center, t_max - 1, t_max - warped)])
+            lo = np.floor(src_pos).astype(np.int64)
+            hi = np.minimum(lo + 1, t_max - 1)
+            frac = (src_pos - lo)[:, None].astype(y.dtype)
+            y = y[lo] * (1.0 - frac) + y[hi] * frac
         for _ in range(num_t_mask):
             start = rng.randint(0, max(t_max - 1, 0))
             length = rng.randint(1, max_t)

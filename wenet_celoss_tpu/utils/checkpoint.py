@@ -3,8 +3,15 @@
 Parity with reference ``wenet/utils/checkpoint.py:24-103`` (state_dict save
 with `.yaml` infos {epoch, lr, cv_loss, step}, partial warm-start by module
 filter) and ``wenet/bin/average_model.py:25-101`` (val-best / last-N
-averaging). Storage is orbax (the TPU-native async-capable checkpointer)
-with msgpack fallback for single-file use.
+averaging), plus step-level FULL-STATE checkpoints (params + optimizer +
+step + executor rng) with async atomic writes for mid-epoch kill/resume
+(reference step-resume: `wenet/utils/checkpoint.py:40-58`, `train.py:257`).
+
+Storage is flax msgpack: params-only epoch files (`<n>.ckpt`) and
+full-train-state step files (`step_<n>.state`). Writes go to a tempfile
+then rename (crash-atomic); the device→host gather is synchronous, the
+file IO runs in a background thread (`wait_pending()` to drain — called
+before process exit).
 """
 
 from __future__ import annotations
@@ -12,12 +19,15 @@ from __future__ import annotations
 import glob
 import os
 import re
+import threading
 from typing import Any, Dict, List, Optional
 
 import flax
 import jax
 import numpy as np
 import yaml
+
+_PENDING: List[threading.Thread] = []
 
 
 def save_checkpoint(params: Any, path: str,
@@ -38,8 +48,53 @@ def load_checkpoint(template: Any, path: str) -> Any:
         return flax.serialization.from_bytes(template, f.read())
 
 
+def _atomic_write(payload: bytes, path: str,
+                  infos: Optional[Dict]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    if infos is not None:
+        info_path = re.sub(r"\.(mspk|state)$", "", path) + ".yaml"
+        itmp = info_path + ".tmp"
+        with open(itmp, "w") as f:
+            yaml.dump(infos, f)
+        os.replace(itmp, info_path)
+
+
+def save_train_state(state: Any, path: str, infos: Optional[Dict] = None,
+                     background: bool = True) -> None:
+    """Full-state checkpoint: params + optimizer state + step counter
+    (+ batch_stats). Gather to host synchronously (cheap next to a train
+    step), serialize + write in a background thread, atomically."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_state = jax.device_get(state)
+    payload = flax.serialization.to_bytes(host_state)
+
+    if background:
+        t = threading.Thread(target=_atomic_write,
+                             args=(payload, path, infos), daemon=True)
+        t.start()
+        _PENDING.append(t)
+    else:
+        _atomic_write(payload, path, infos)
+
+
+def wait_pending() -> None:
+    """Block until every background checkpoint write has landed."""
+    while _PENDING:
+        _PENDING.pop().join()
+
+
+def load_train_state(template_state: Any, path: str) -> Any:
+    """Load a full TrainState written by save_train_state into the
+    structure (and shardings, via the caller re-placing) of template."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template_state, f.read())
+
+
 def load_checkpoint_infos(path: str) -> Dict:
-    info_path = re.sub(r"\.mspk$", "", path) + ".yaml"
+    info_path = re.sub(r"\.(mspk|state)$", "", path) + ".yaml"
     if os.path.exists(info_path):
         with open(info_path, "r") as f:
             return yaml.safe_load(f) or {}
