@@ -115,6 +115,9 @@ def test_train_recognize_average_align(tmp_path):
              "--symbol_table", str(data / "units.txt"),
              "--mode", mode, "--batch_size", "8",
              "--reverse_weight", "0.3",
+             # rescoring pass exercises the mesh-sharded decoder with
+             # collective hypothesis exchange (decode/sharded.py)
+             *(["--sharded"] if mode == "attention_rescoring" else []),
              "--result_file", str(out)],
             capture_output=True, text=True, env=ENV, timeout=900, cwd=REPO)
         assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]

@@ -141,11 +141,13 @@ def main():
         with open(args.context_dict, "rb") as f:
             context_dict = pickle.load(f)
 
-    mesh = None
     if args.sharded:
+        from wenet_celoss_tpu.decode.sharded import ShardedDecoder
         from wenet_celoss_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(model_parallel=1)
-        logging.info("sharded decode over %d devices", mesh.size)
+        logging.info("sharded decode over %d devices (collective "
+                     "hypothesis exchange over the data axis)", mesh.size)
+        decoder = ShardedDecoder(model, params, mesh)
 
     os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     gate_dists = []
@@ -154,22 +156,9 @@ def main():
             feats = jnp.asarray(batch["feats"])
             feat_lens = jnp.asarray(batch["feat_lengths"])
             n_real = feats.shape[0]
-            if mesh is not None:
-                from jax.sharding import (NamedSharding,
-                                          PartitionSpec as P)
-                pad = (-n_real) % mesh.size
-                if pad:
-                    feats = jnp.concatenate(
-                        [feats, jnp.zeros((pad,) + feats.shape[1:],
-                                          feats.dtype)])
-                    feat_lens = jnp.concatenate(
-                        [feat_lens,
-                         jnp.full((pad,), feats.shape[1],
-                                  feat_lens.dtype)])
-                import jax
-                sh = NamedSharding(mesh, P("data"))
-                feats = jax.device_put(feats, sh)
-                feat_lens = jax.device_put(feat_lens, sh)
+            # --sharded: ShardedDecoder pads the batch to the data-axis
+            # size, runs SPMD, and exchanges results collectively; no
+            # host-side padding plumbing needed here.
             ctx, ctx_lens = context_list, context_lengths
             if context_dict is not None:
                 rows = [[0]] + [list(r) for r in

@@ -111,10 +111,12 @@ class Decoder:
         return attention_beam.attention_hyps_to_lists(hyps, lens,
                                                       self.model.eos)
 
-    def attention_rescoring(self, feats, feat_lens, beam: int = 10,
-                            ctc_weight: float = 0.0,
-                            reverse_weight: float = 0.0,
-                            **kw) -> List[List[int]]:
+    def attention_rescoring_arrays(self, feats, feat_lens, beam: int = 10,
+                                   ctc_weight: float = 0.0,
+                                   reverse_weight: float = 0.0, **kw):
+        """Device-array variant (best_tokens [B,U], best_lens [B]) — the
+        mesh-sharded decoder exchanges these via collectives before the
+        host materializes them."""
         _, res, enc, mask = self.ctc_prefix_beam_search(
             feats, feat_lens, beam=beam, **kw)
 
@@ -127,6 +129,15 @@ class Decoder:
         best_tokens, best_lens, _ = rescoring.attention_rescoring(
             scores_fn, enc, mask, res, self.model.sos, self.model.eos,
             ctc_weight, reverse_weight)
+        return best_tokens, best_lens
+
+    def attention_rescoring(self, feats, feat_lens, beam: int = 10,
+                            ctc_weight: float = 0.0,
+                            reverse_weight: float = 0.0,
+                            **kw) -> List[List[int]]:
+        best_tokens, best_lens = self.attention_rescoring_arrays(
+            feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
+            reverse_weight=reverse_weight, **kw)
         toks = np.asarray(best_tokens)
         lens = np.asarray(best_lens)
         return [[int(x) for x in toks[i, :lens[i]]]
@@ -147,10 +158,13 @@ class Decoder:
                                  method="predictor_init_state")
         return predictor_step, joint_step, init_state
 
-    def rnnt_greedy_search(self, feats, feat_lens, n_steps: int = 4,
+    def rnnt_greedy_arrays(self, feats, feat_lens, n_steps: int = 4,
                            context_list=None, context_lengths=None,
-                           context_filter_state: str = "off",
-                           ) -> List[List[int]]:
+                           context_filter_state: str = "off"):
+        """Device-array variant: (tokens [B,U], lens [B], gates or None).
+        Covers the scan-based paths (``off``/``on``); the host-driven
+        ``exact`` backtracking repair loop stays in
+        :meth:`rnnt_greedy_search`."""
         b = feats.shape[0]
         model, params = self.model, self.params
         bias_hidden = None
@@ -167,7 +181,7 @@ class Decoder:
             toks, lens = rnnt_greedy.rnnt_greedy_search(
                 predictor_step, joint_step, init_state, enc, enc_lens,
                 blank=model.blank, n_steps=n_steps)
-            return rnnt_greedy.greedy_to_lists(toks, lens)
+            return toks, lens, None
 
         # The "unbiased" gate-off stream is biased with the EMPTY hotword
         # list (sentinel [0] only) — reference `greedy_search.py:64-73`.
@@ -194,7 +208,7 @@ class Decoder:
         if context_filter_state == "exact":
             # Reference-exact backtracking repair loop (host-driven,
             # per-utterance; greedy_search.py:110-137 semantics incl.
-            # crossed stream selection).
+            # crossed stream selection). Ragged host lists, not arrays.
             p_step, j_step, init1 = self._transducer_fns(1)
             all_hyps, all_gates, glens = [], [], []
             for i in range(b):
@@ -215,7 +229,7 @@ class Decoder:
             for i, g in enumerate(all_gates):
                 gates_arr[i, :len(g)] = g
             self.last_gates = (gates_arr, np.asarray(glens, np.int32))
-            return all_hyps
+            return all_hyps, None, None
 
         toks, lens, gates = rnnt_greedy.rnnt_gated_greedy_search(
             predictor_step, predictor_bias_step, joint_step, gate_step,
@@ -223,7 +237,20 @@ class Decoder:
             blank=model.blank, n_steps=n_steps,
             gate_on=(context_filter_state == "on"),
             predictor_bias_step_empty=predictor_bias_step_empty)
-        self.last_gates = (gates, lens)
+        return toks, lens, gates
+
+    def rnnt_greedy_search(self, feats, feat_lens, n_steps: int = 4,
+                           context_list=None, context_lengths=None,
+                           context_filter_state: str = "off",
+                           ) -> List[List[int]]:
+        toks, lens, gates = self.rnnt_greedy_arrays(
+            feats, feat_lens, n_steps=n_steps, context_list=context_list,
+            context_lengths=context_lengths,
+            context_filter_state=context_filter_state)
+        if lens is None:  # exact mode returned ragged host hyps
+            return toks
+        if gates is not None:
+            self.last_gates = (gates, lens)
         return rnnt_greedy.greedy_to_lists(toks, lens)
 
     def rnnt_beam_search(self, feats, feat_lens, beam: int = 5,
