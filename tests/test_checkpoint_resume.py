@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wenet_celoss_tpu.configs import conformer_ctc_aed
 from wenet_celoss_tpu.models.factory import init_model
@@ -39,6 +40,7 @@ def _batches(n, b=2, t=32, u=4):
     return out
 
 
+@pytest.mark.slow  # ~2min CPU: trains, kills, resumes, retrains
 def test_step_checkpoint_resume_reproduces_trajectory(tmp_path):
     cfg = _tiny()
     model = init_model(cfg)

@@ -700,7 +700,7 @@ def test_rpc_server_end_to_end(runtime_build, tmp_path):
         f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
         f"--config {model_dir}/train.yaml "
         f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
-    port = 19523
+    port = 19500 + (os.getpid() % 400)  # xdist-safe (pid-derived)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     proc = subprocess.Popen(
         [os.path.join(runtime_build, "rpc_server_main"),

@@ -34,22 +34,20 @@ from wenet_celoss_tpu.parallel.mesh import batch_sharding, shard_state
 from wenet_celoss_tpu.utils.common import remove_duplicates_and_blank
 
 
-def exchange(mesh, *arrays):
-    """All-gather batch-sharded result arrays over the ``data`` axis.
+import functools
 
-    Each input has its leading (batch) axis sharded over ``data``; the
-    outputs are fully replicated: every device receives every shard's rows
-    via one `lax.all_gather` per array (an ICI collective inside jit, not
-    a host transfer). In a multi-host pod this is what lets every process
-    materialize the complete hypothesis set.
-    """
+
+@functools.lru_cache(maxsize=None)
+def _gather_fn(mesh, n):
+    """Jitted all-gather of n batch-sharded arrays (cached per mesh/arity
+    so repeated decode batches reuse the compiled collective)."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    in_specs = tuple(P("data") for _ in arrays)
-    out_specs = tuple(P() for _ in arrays)
+    in_specs = tuple(P("data") for _ in range(n))
+    out_specs = tuple(P() for _ in range(n))
 
     def gather(*xs):
         return tuple(
@@ -64,7 +62,19 @@ def exchange(mesh, *arrays):
     except TypeError:
         fn = shard_map(gather, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
-    return jax.jit(fn)(*arrays)
+    return jax.jit(fn)
+
+
+def exchange(mesh, *arrays):
+    """All-gather batch-sharded result arrays over the ``data`` axis.
+
+    Each input has its leading (batch) axis sharded over ``data``; the
+    outputs are fully replicated: every device receives every shard's rows
+    via one `lax.all_gather` per array (an ICI collective inside jit, not
+    a host transfer). In a multi-host pod this is what lets every process
+    materialize the complete hypothesis set.
+    """
+    return _gather_fn(mesh, len(arrays))(*arrays)
 
 
 class ShardedDecoder(Decoder):
