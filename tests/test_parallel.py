@@ -219,3 +219,34 @@ def test_shard_batch_semantics():
     assert placed["context_lengths"].sharding.is_fully_replicated
     for k in ("feats", "feat_lengths", "hw_labels"):
         assert not placed[k].sharding.is_fully_replicated, k
+
+
+def test_pad_batch_to_multiple_semantics():
+    """Paddable entries derive from batch semantics (leading dim == batch
+    size), so a NOVEL batch key pads correctly instead of silently
+    keeping its old size; shared (step-global) entries and scalars are
+    left alone; lengths pad to zero (feat_lengths to 1)."""
+    from wenet_celoss_tpu.parallel.mesh import pad_batch_to_multiple
+    b = 3
+    batch = {
+        "keys": ["a", "b", "c"],
+        "feats": np.ones((b, 16, 4), np.float32),
+        "feat_lengths": np.full((b,), 16, np.int32),
+        "labels": np.ones((b, 5), np.int32),
+        "label_lengths": np.full((b,), 5, np.int32),
+        "novel_per_utt": np.ones((b, 7), np.float32),   # new batch entry
+        "context_list": np.ones((b, 2), np.int32),       # shared: no pad
+        "context_lengths": np.full((b,), 2, np.int32),
+    }
+    out = pad_batch_to_multiple(batch, 8)
+    assert out["feats"].shape[0] == 8
+    assert out["novel_per_utt"].shape[0] == 8
+    np.testing.assert_array_equal(out["novel_per_utt"][b:], 0.0)
+    np.testing.assert_array_equal(out["feat_lengths"][b:], 1)
+    np.testing.assert_array_equal(out["label_lengths"][b:], 0)
+    assert out["keys"] == ["a", "b", "c"] + ["<pad>"] * 5
+    # Step-global hotword entries are untouched.
+    assert out["context_list"].shape[0] == b
+    assert out["context_lengths"].shape[0] == b
+    # Already divisible: identity.
+    assert pad_batch_to_multiple(out, 8) is out

@@ -15,6 +15,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUILD = os.path.join(REPO, "runtime", "build")
 
 
+def _free_port() -> int:
+    """OS-assigned free TCP port (bind 0, read, close). Unlike pid-derived
+    offsets this cannot collide across xdist workers or with unrelated
+    processes already listening (modulo the tiny close→reuse window)."""
+    import socket
+    with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 @pytest.fixture(scope="session")
 def runtime_build():
     os.makedirs(BUILD, exist_ok=True)
@@ -412,7 +423,7 @@ def test_websocket_server_end_to_end(runtime_build, tmp_path):
         f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
         f"--config {model_dir}/train.yaml "
         f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
-    port = 19000 + (os.getpid() % 900)
+    port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     proc = subprocess.Popen(
         [os.path.join(runtime_build, "websocket_server_main"),
@@ -700,7 +711,7 @@ def test_rpc_server_end_to_end(runtime_build, tmp_path):
         f"{sys.executable} -m wenet_celoss_tpu.bin.runtime_worker "
         f"--config {model_dir}/train.yaml "
         f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
-    port = 19500 + (os.getpid() % 400)  # xdist-safe (pid-derived)
+    port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     proc = subprocess.Popen(
         [os.path.join(runtime_build, "rpc_server_main"),
@@ -787,7 +798,7 @@ def test_websocket_client_tool(runtime_build, tmp_path):
     (parity surface: reference websocket_client_main + performance-ws.py)."""
     model_dir, wav_path, expected, chunk, mel = \
         _train_tiny_streaming_model(tmp_path)
-    port = 19100 + (os.getpid() % 800)
+    port = _free_port()
     proc = _start_server(runtime_build, "websocket_server_main",
                          model_dir, chunk, mel, port)
     try:
@@ -815,7 +826,7 @@ def test_rpc_client_tool(runtime_build, tmp_path):
         pytest.skip("protobuf not available; rpc server not built")
     model_dir, wav_path, expected, chunk, mel = \
         _train_tiny_streaming_model(tmp_path)
-    port = 19950 + (os.getpid() % 40)
+    port = _free_port()
     proc = _start_server(runtime_build, "rpc_server_main",
                          model_dir, chunk, mel, port)
     try:
@@ -840,7 +851,7 @@ class TestWebDemo:
 
     def test_serves_page_with_injected_ws_port(self):
         import urllib.request
-        port = 19900 + (os.getpid() % 90)
+        port = _free_port()
         proc = subprocess.Popen(
             [sys.executable, "runtime/web/app.py", "--port", str(port),
              "--ws_port", "12345"], cwd=REPO)

@@ -73,6 +73,24 @@ def test_sharded_decoder_matches_plain_ctc_aed(ctc_aed):
     assert sharded.attention_rescoring(feats, lens, beam=4) == \
         plain.attention_rescoring(feats, lens, beam=4)
 
+    assert sharded.attention(feats, lens, beam=4) == \
+        plain.attention(feats, lens, beam=4)
+
+    # The exchanged n-best dict is uniformly replicated — including the
+    # viterbi scores + token times timestamp consumers read.
+    for k in ("tokens", "lens", "scores", "viterbi", "times"):
+        assert res_s[k].sharding.is_fully_replicated, k
+        assert res_s[k].shape[0] == feats.shape[0], k
+
+    # attention_rescoring_arrays on a ShardedDecoder must not mix
+    # truncated n-best with mesh-padded enc (advisor r2 finding): with a
+    # batch not divisible by the data axis it must still match plain.
+    s_toks, s_lens = sharded.attention_rescoring_arrays(feats, lens,
+                                                        beam=4)
+    p_toks, p_lens = plain.attention_rescoring_arrays(feats, lens, beam=4)
+    np.testing.assert_array_equal(np.asarray(s_toks), np.asarray(p_toks))
+    np.testing.assert_array_equal(np.asarray(s_lens), np.asarray(p_lens))
+
 
 @pytest.fixture(scope="module")
 def transducer_bias():

@@ -148,6 +148,16 @@ def main():
         logging.info("sharded decode over %d devices (collective "
                      "hypothesis exchange over the data axis)", mesh.size)
         decoder = ShardedDecoder(model, params, mesh)
+        if args.mode not in ShardedDecoder.SUPPORTED_MODES:
+            logging.warning(
+                "--sharded has no SPMD path for mode %r; running the "
+                "plain single-program decoder instead", args.mode)
+        elif (args.mode == "rnnt_greedy_search"
+                and args.context_filter_state == "exact"):
+            logging.warning(
+                "--sharded: context_filter_state=exact is a host-driven "
+                "per-utterance repair loop; falling back to the plain "
+                "(unsharded) path for it")
 
     os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     gate_dists = []

@@ -95,8 +95,11 @@ class Decoder:
             first_beam=first_beam if first_beam else beam)
         return ctc_prefix_beam.nbest_to_lists(res, 1), res, enc, mask
 
-    def attention(self, feats, feat_lens, beam: int = 10,
-                  max_len: int = 0, **kw) -> List[List[int]]:
+    def attention_arrays(self, feats, feat_lens, beam: int = 10,
+                         max_len: int = 0, **kw):
+        """Device-array variant (hyps [B, N, L], lens [B, N], best-first)
+        — the mesh-sharded decoder exchanges these via collectives before
+        the host materializes them."""
         enc, mask, _ = self._encode(feats, feat_lens, **kw)
         if max_len <= 0:
             max_len = int(enc.shape[1])
@@ -108,6 +111,12 @@ class Decoder:
         hyps, lens, _ = attention_beam.attention_beam_search(
             one_step, enc, mask, self.model.sos, self.model.eos, beam,
             max_len)
+        return hyps, lens
+
+    def attention(self, feats, feat_lens, beam: int = 10,
+                  max_len: int = 0, **kw) -> List[List[int]]:
+        hyps, lens = self.attention_arrays(feats, feat_lens, beam=beam,
+                                           max_len=max_len, **kw)
         return attention_beam.attention_hyps_to_lists(hyps, lens,
                                                       self.model.eos)
 
@@ -116,9 +125,15 @@ class Decoder:
                                    reverse_weight: float = 0.0, **kw):
         """Device-array variant (best_tokens [B,U], best_lens [B]) — the
         mesh-sharded decoder exchanges these via collectives before the
-        host materializes them."""
-        _, res, enc, mask = self.ctc_prefix_beam_search(
-            feats, feat_lens, beam=beam, **kw)
+        host materializes them.
+
+        Deliberately bypasses a subclass's ctc_prefix_beam_search override
+        (explicit Decoder call): on a ShardedDecoder the override returns
+        the n-best truncated to the real batch size while enc/mask stay
+        mesh-padded, and the rescoring matmuls must see consistent batch
+        dims; the sharded path exchanges only the FINAL winners."""
+        _, res, enc, mask = Decoder.ctc_prefix_beam_search(
+            self, feats, feat_lens, beam=beam, **kw)
 
         def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
                       rw):

@@ -80,11 +80,21 @@ def exchange(mesh, *arrays):
 class ShardedDecoder(Decoder):
     """Decoder running SPMD over a mesh, exchanging results collectively.
 
-    Supported modes: ctc_greedy_search, ctc_prefix_beam_search,
+    Supported modes: attention, ctc_greedy_search, ctc_prefix_beam_search,
     attention_rescoring, rnnt_greedy_search (scan paths ``off``/``on``),
-    rnnt_beam_search. The host-driven ``exact`` backtracking mode is
-    inherently per-utterance sequential and falls back to the parent.
+    rnnt_beam_search, rnnt_beam_attn_rescoring. The host-driven ``exact``
+    backtracking mode is inherently per-utterance sequential and falls
+    back to the parent.
     """
+
+    #: decode modes that run SPMD with a collective exchange (mirrors the
+    #: recognize.py MODES names); anything else falls back to the plain
+    #: single-program path.
+    SUPPORTED_MODES = frozenset({
+        "attention", "ctc_greedy_search", "ctc_prefix_beam_search",
+        "attention_rescoring", "rnnt_greedy_search", "rnnt_beam_search",
+        "rnnt_beam_attn_rescoring",
+    })
 
     def __init__(self, model, variables, mesh):
         super().__init__(model, shard_state(mesh, variables))
@@ -124,34 +134,41 @@ class ShardedDecoder(Decoder):
         res = ctc_prefix_beam.ctc_prefix_beam_search(
             ctc_lp, lens, beam=beam,
             first_beam=first_beam if first_beam else beam)
-        tokens, tlens, scores = exchange(
-            self.mesh, res["tokens"], res["lens"], res["scores"])
+        # Exchange EVERY result entry (incl. viterbi scores + token times
+        # for timestamp consumers) so the returned dict is uniformly
+        # replicated and truncated to the real batch.
+        tokens, tlens, scores, vit, times = exchange(
+            self.mesh, res["tokens"], res["lens"], res["scores"],
+            res["viterbi"], res["times"])
         res_full = dict(res, tokens=tokens[:n], lens=tlens[:n],
-                        scores=scores[:n])
+                        scores=scores[:n], viterbi=vit[:n],
+                        times=times[:n])
         return (ctc_prefix_beam.nbest_to_lists(res_full, 1), res_full,
                 enc, mask)
+
+    def attention(self, feats, feat_lens, beam: int = 10,
+                  max_len: int = 0, **kw) -> List[List[int]]:
+        feats, feat_lens, n = self._place(feats, feat_lens)
+        hyps, lens = self.attention_arrays(feats, feat_lens, beam=beam,
+                                           max_len=max_len, **kw)
+        # Only the per-utterance winners travel the collective.
+        best_toks, best_lens = exchange(self.mesh, hyps[:, 0], lens[:, 0])
+        toks = np.asarray(best_toks)[:n]
+        tlens = np.asarray(best_lens)[:n]
+        return [[int(x) for x in toks[i, :tlens[i]]] for i in range(n)]
 
     def attention_rescoring(self, feats, feat_lens, beam: int = 10,
                             ctc_weight: float = 0.0,
                             reverse_weight: float = 0.0,
                             **kw) -> List[List[int]]:
-        from wenet_celoss_tpu.decode import rescoring
         feats, feat_lens, n = self._place(feats, feat_lens)
-        # Bypass this class's ctc_prefix_beam_search override: the n-best
-        # must stay padded + batch-sharded through the rescoring matmuls;
-        # only the FINAL winners are exchanged.
-        _, res, enc, mask = Decoder.ctc_prefix_beam_search(
-            self, feats, feat_lens, beam=beam, **kw)
-
-        def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
-                      rw):
-            return self.model.apply(
-                self.params, memory, memory_mask, hyps_in, hyps_lens,
-                r_hyps_in, rw, method="decoder_scores")
-
-        best_tokens, best_lens, _ = rescoring.attention_rescoring(
-            scores_fn, enc, mask, res, self.model.sos, self.model.eos,
-            ctc_weight, reverse_weight)
+        # attention_rescoring_arrays already bypasses this class's
+        # ctc_prefix_beam_search override (explicit Decoder call): the
+        # n-best stays padded + batch-sharded through the rescoring
+        # matmuls; only the FINAL winners are exchanged.
+        best_tokens, best_lens = self.attention_rescoring_arrays(
+            feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
+            reverse_weight=reverse_weight, **kw)
         best_tokens, best_lens = exchange(self.mesh, best_tokens, best_lens)
         toks = np.asarray(best_tokens)[:n]
         lens = np.asarray(best_lens)[:n]

@@ -150,23 +150,29 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Pad the batch axis so it divides the data-mesh size; padded rows get
-    zero feat/label lengths so they contribute nothing to the loss."""
+    zero feat/label lengths so they contribute nothing to the loss.
+
+    Paddable entries are derived by SEMANTICS, the same rule
+    `shard_batch` applies: any array whose leading dim equals the batch
+    size (read from 'feats') and that is not a step-global _SHARED_KEYS
+    entry is padded with zeros (lengths too — a zero length means "no
+    frames/labels", which masks the row out of every loss term); only
+    'feat_lengths' pads with 1, because a zero-frame utterance would
+    produce an all-False encoder mask whose downstream normalizations
+    divide by the mask sum. A novel batch-keyed entry therefore pads
+    correctly by construction instead of silently keeping size b."""
     b = np.asarray(batch["feats"]).shape[0]
     pad = (-b) % multiple
     if pad == 0:
         return batch
     out = dict(batch)
-    for k in ("feats", "labels", "hw_labels", "context_decoder_labels"):
-        if k in batch:
-            v = np.asarray(batch[k])
+    for k, v in batch.items():
+        if k == "keys":
+            out[k] = list(v) + ["<pad>"] * pad
+            continue
+        arr = np.asarray(v)
+        if arr.ndim >= 1 and arr.shape[0] == b and k not in _SHARED_KEYS:
+            fill = np.ones if k == "feat_lengths" else np.zeros
             out[k] = np.concatenate(
-                [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
-    for k in ("feat_lengths", "label_lengths"):
-        if k in batch:
-            v = np.asarray(batch[k])
-            pad_len = np.ones((pad,), v.dtype) if k == "feat_lengths" \
-                else np.zeros((pad,), v.dtype)
-            out[k] = np.concatenate([v, pad_len], axis=0)
-    if "keys" in batch:
-        out["keys"] = list(batch["keys"]) + ["<pad>"] * pad
+                [arr, fill((pad,) + arr.shape[1:], arr.dtype)], axis=0)
     return out
