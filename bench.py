@@ -1,16 +1,25 @@
-"""Benchmark: training throughput of the flagship conformer-RNN-T + bias
-model on one chip, in audio-seconds per second per chip.
+"""Benchmark: training + decode throughput of the flagship conformer-RNN-T
++ bias model on one chip, in audio-seconds per second per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus an
-"mfu" key: model-FLOPs utilisation from XLA's own cost analysis of the
-compiled step against the chip's bf16 peak).
+Default invocation prints ONE JSON line:
+  {"metric": "train_throughput_conformer_rnnt_bias", "value", "unit",
+   "vs_baseline", "mfu", "mfu_xla", "decode_ctc_greedy",
+   "decode_rnnt_greedy", "decode_streaming_ctc_greedy"}
+— the train number is the headline metric; the decode keys are the
+batched full-context searches and the chunk-16 simulated-streaming
+decode BASELINE.json asks for alongside it.
+
+``mfu`` uses an ANALYTIC model-FLOP count (utils/flops.py): XLA's
+cost_analysis cannot see FLOPs inside Pallas custom calls, and the
+flagship step runs its FFN tower and the streaming-joint vocab matmul
+(the densest matmuls in the program) in Pallas by default — the XLA
+figure (kept as ``mfu_xla`` for comparison) is an undercount.
+
 The reference publishes no in-tree throughput numbers (BASELINE.md), so
-vs_baseline is reported against this project's own recorded baseline when
-BENCH_BASELINE.json exists, else 1.0.
+vs_baseline is against this project's own recorded BENCH_BASELINE.json.
 
-``--decode`` instead benchmarks batched decode throughput (ctc_greedy
-over the full-context encoder, and transducer greedy), one JSON line per
-mode — BASELINE.json asks for train AND decode numbers.
+``--decode`` prints the decode benches as separate JSON lines (one per
+mode) without running the train bench; ``--train-only`` skips decode.
 """
 
 import json
@@ -43,12 +52,30 @@ def _vs_baseline(value: float, key: str = "value") -> float:
     return 1.0
 
 
-def bench_decode():
+def _median_rate(fn, audio_s, iters, windows):
+    """Median audio-s/s over probe-synced windows. fn() must force real
+    completion (host materialisation) — block_until_ready is unreliable
+    on the axon platform."""
+    fn()  # warmup/compile
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        dt = time.perf_counter() - t0
+        rates.append(audio_s * iters / dt)
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def bench_decode(emit=print):
     """Batched decode throughput on one chip: audio-s/s for ctc_greedy
-    (full-context encoder + frame argmax) and rnnt_greedy (encoder + the
-    frame-scan emit loop). Synthetic fbank input; decode math identical
-    to recognize.py's batched searches."""
-    from wenet_celoss_tpu.configs import conformer_rnnt_bias
+    (full-context encoder + frame argmax), rnnt_greedy (encoder + the
+    frame-scan emit loop), and chunk-16 simulated-streaming ctc_greedy on
+    the causal U2++ conformer (the configuration the U2 design exists
+    for). Synthetic fbank input; decode math identical to recognize.py's
+    batched searches. Returns {name: audio_s/s}."""
+    from wenet_celoss_tpu.configs import conformer_rnnt_bias, u2pp_conformer
     from wenet_celoss_tpu.decode.api import Decoder
     from wenet_celoss_tpu.models.factory import init_model
     from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
@@ -77,36 +104,45 @@ def bench_decode():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     audio_s = b * t * 0.01
+    results = {}
 
     def run(mode, fn):
-        fn()  # warmup/compile
-        rates = []
-        for _ in range(windows):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                fn()
-            dt = time.perf_counter() - t0
-            rates.append(audio_s * iters / dt)
-        rates.sort()
-        value = rates[len(rates) // 2]
-        print(json.dumps({
+        # hyps come back as host lists — the conversion IS the sync point.
+        value = _median_rate(fn, audio_s, iters, windows)
+        results[mode] = round(value, 2)
+        emit(json.dumps({
             "metric": f"decode_throughput_{mode}",
             "value": round(value, 2),
             "unit": "audio-seconds/s/chip",
             "vs_baseline": round(_vs_baseline(value), 3),
         }))
 
-    # hyps come back as host lists — the conversion IS the sync point
-    # (block_until_ready is unreliable on the axon platform; see sync()).
     run("ctc_greedy", lambda: dec.ctc_greedy_search(feats, lens))
     run("rnnt_greedy",
         lambda: dec.rnnt_greedy_search(feats, lens, n_steps=4))
 
+    # Chunk-16 streaming decode: causal U2++ conformer, true
+    # chunk-by-chunk forward with bounded att/conv caches.
+    cfg_s = u2pp_conformer(tiny=tiny, vocab_size=1024)
+    cfg_s["dtype"] = cfg["dtype"]
+    model_s = init_model(cfg_s)
+    vars_s = model_s.init(jax.random.PRNGKey(0), feats[:2], lens[:2],
+                          jnp.asarray(rng.integers(1, v - 2, (2, 8)),
+                                      jnp.int32),
+                          jnp.full((2,), 8, jnp.int32))
+    dec_s = Decoder(model_s, vars_s)
+    run("streaming_ctc_greedy",
+        lambda: dec_s.ctc_greedy_search(
+            feats, lens, simulate_streaming=True, decoding_chunk_size=16,
+            num_decoding_left_chunks=4))
+    return results
 
-def main():
+
+def bench_train(emit=print, decode_results=None):
     from wenet_celoss_tpu.configs import conformer_rnnt_bias
     from wenet_celoss_tpu.models.factory import init_model
     from wenet_celoss_tpu.parallel import train as T
+    from wenet_celoss_tpu.utils.flops import train_step_flops
     from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
 
     # Hardware RNG for dropout (+106ms/step at B=256 with threefry;
@@ -170,16 +206,23 @@ def main():
     state, m = step(state, key)
     sync(state, m)
 
-    # XLA's own FLOP count of the compiled step, for the MFU figure.
-    flops_per_step = 0.0
+    # XLA's own FLOP count of the compiled step — kept only as the
+    # comparison figure (it is blind to Pallas custom calls).
+    xla_flops_per_step = 0.0
     try:
         cost = train_step.lower(state, batch, key).compile() \
             .cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0))
+        xla_flops_per_step = float(cost.get("flops", 0.0))
     except Exception:
         pass
+
+    # Analytic model-FLOP count (utils/flops.py) — the honest MFU
+    # numerator; counts the Pallas-fused matmuls XLA cannot see.
+    flops_per_step = train_step_flops(
+        cfg, b, t, u, n_ctx=int(batch["context_list"].shape[0]),
+        l_ctx=int(batch["context_list"].shape[1]))
 
     # Median of probe-synced windows (never best-of: a window whose
     # block returned early would report impossible FLOP rates).
@@ -203,14 +246,32 @@ def main():
         "unit": "audio-seconds/s/chip",
         "vs_baseline": round(_vs_baseline(value), 3),
     }
-    if flops_per_step > 0:
-        steps_per_s = value / (b * t * 0.01)
-        rec["mfu"] = round(flops_per_step * steps_per_s / _peak(), 4)
-    print(json.dumps(rec))
+    steps_per_s = value / (b * t * 0.01)
+    rec["mfu"] = round(flops_per_step * steps_per_s / _peak(), 4)
+    if xla_flops_per_step > 0:
+        rec["mfu_xla"] = round(
+            xla_flops_per_step * steps_per_s / _peak(), 4)
+    if decode_results:
+        for k, val in decode_results.items():
+            rec[f"decode_{k}"] = val
+    emit(json.dumps(rec))
+
+
+def main():
+    if "--decode" in sys.argv:
+        bench_decode()
+        return
+    decode_results = None
+    if "--train-only" not in sys.argv:
+        # Decode benches run first, silently; their numbers fold into the
+        # single train record below so the driver's one-line capture
+        # carries train AND decode AND streaming throughput.
+        try:
+            decode_results = bench_decode(emit=lambda s: None)
+        except Exception as e:
+            print(f"decode bench failed: {e!r}", file=sys.stderr)
+    bench_train(decode_results=decode_results)
 
 
 if __name__ == "__main__":
-    if "--decode" in sys.argv:
-        bench_decode()
-    else:
-        main()
+    main()

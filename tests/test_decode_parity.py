@@ -32,12 +32,35 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def pair():
+    # torchaudio is not in the image; back the reference's
+    # torchaudio.functional.rnnt_loss with the independent numpy DP from
+    # test_losses so reference code paths that SCORE with the RNN-T loss
+    # (transducer_attention_rescoring → _cal_transducer_score,
+    # transducer.py:277-302) run verbatim.
+    def _stub_rnnt_loss(logits, targets, logit_lengths, target_lengths,
+                        blank=-1, reduction="mean", **kw):
+        from tests.test_losses import _numpy_rnnt_loss
+        v = logits.shape[-1]
+        out = _numpy_rnnt_loss(
+            logits.detach().numpy(),
+            targets.detach().numpy().astype(np.int64),
+            logit_lengths.detach().numpy(),
+            target_lengths.detach().numpy(),
+            blank=blank if blank >= 0 else v - 1)
+        t = torch.from_numpy(out.astype(np.float32))
+        if reduction == "mean":
+            return t.mean()
+        if reduction == "sum":
+            return t.sum()
+        return t
+
     if "torchaudio" not in sys.modules:
         ta = types.ModuleType("torchaudio")
         ta.functional = types.ModuleType("torchaudio.functional")
-        ta.functional.rnnt_loss = lambda *a, **k: None
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.functional"] = ta.functional
+        ta.functional = sys.modules["torchaudio.functional"]
+    sys.modules["torchaudio"].functional.rnnt_loss = _stub_rnnt_loss
     sys.path.insert(0, REF)
     import yaml
     cfg_path = os.path.join(
@@ -247,3 +270,57 @@ def test_rnnt_greedy_gated_exact_parity(pair):
         context_list=jnp.asarray(ctx), context_lengths=jnp.asarray(ctx_lens),
         context_filter_state="exact")
     assert ours[0] == ref_hyp
+
+
+def test_ctc_beam_td_attn_rescoring_parity(pair):
+    """The reference's 8th decode mode (`wenet/bin/recognize.py:321`):
+    CTC prefix-beam proposals re-ranked by attention + transducer score
+    (`transducer_attention_rescoring` with beam_search_type='ctc',
+    transducer.py:379-513; the torch side's rnnt_loss is the numpy DP
+    stub installed by the fixture)."""
+    ref_model, dec, feats, lens = pair
+    with torch.no_grad():
+        ref_hyp, _ = ref_model.transducer_attention_rescoring(
+            torch.from_numpy(feats[:1]),
+            torch.from_numpy(lens[:1]).long(), beam_size=5,
+            ctc_weight=0.3, attn_weight=1.0, transducer_weight=0.7,
+            reverse_weight=0.3, beam_search_type="ctc")
+    ours = dec.ctc_beam_td_attn_rescoring(
+        jnp.asarray(feats[:1]), jnp.asarray(lens[:1]), beam=5,
+        ctc_weight=0.3, transducer_weight=0.7, attn_weight=1.0,
+        reverse_weight=0.3)
+    assert ours[0] == [int(x) for x in ref_hyp]
+
+
+def test_transducer_score_matches_numpy_dp(pair):
+    """model.transducer_score (streaming-V loss, no [B,N,T,U,V]
+    materialization) == −numpy-DP RNN-T loss of the same hyps."""
+    from tests.test_losses import _numpy_rnnt_loss
+    _, dec, feats, lens = pair
+    enc, mask, _ = dec.encode_ctc(jnp.asarray(feats), jnp.asarray(lens))
+    rng = np.random.default_rng(5)
+    b, n, u = enc.shape[0], 3, 6
+    hyps = rng.integers(1, 49, (b, n, u)).astype(np.int32)
+    hyp_lens = rng.integers(1, u + 1, (b, n)).astype(np.int32)
+    scores = np.asarray(dec.model.apply(
+        dec.params, enc, mask, jnp.asarray(hyps), jnp.asarray(hyp_lens),
+        method="transducer_score"))
+
+    # Independent check: materialize the joint through the model's own
+    # projection methods, then run the numpy lattice DP.
+    from wenet_celoss_tpu.utils.common import add_blank
+    enc_lens = np.asarray(mask.sum(axis=1)).astype(np.int64)
+    for i in range(b):
+        for j in range(n):
+            hl = int(hyp_lens[i, j])
+            ys_in = add_blank(jnp.asarray(hyps[i:i + 1, j]),
+                              jnp.asarray(hyp_lens[i, j][None]), 0, -1)
+            pred = dec.model.apply(dec.params, ys_in,
+                                   method="predictor_forward")
+            joint = dec.model.apply(dec.params, enc[i:i + 1], pred,
+                                    method="joint_forward")
+            ref = _numpy_rnnt_loss(
+                np.asarray(joint), hyps[i:i + 1, j].astype(np.int64),
+                enc_lens[i:i + 1], np.array([hl]), blank=0)
+            np.testing.assert_allclose(scores[i, j], -ref[0], rtol=2e-3,
+                                       atol=2e-3)

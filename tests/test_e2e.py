@@ -147,3 +147,9 @@ class TestE2E:
             batch["feats"], batch["feat_lengths"], beam=3,
             search_ctc_weight=0.0, reverse_weight=0.3)
         assert resc == expected
+
+        td = dec.ctc_beam_td_attn_rescoring(
+            batch["feats"], batch["feat_lengths"], beam=3,
+            ctc_weight=0.3, transducer_weight=0.7, attn_weight=1.0,
+            reverse_weight=0.3)
+        assert td == expected

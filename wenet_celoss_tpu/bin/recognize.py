@@ -19,7 +19,7 @@ import numpy as np
 MODES = [
     "attention", "ctc_greedy_search", "ctc_prefix_beam_search",
     "attention_rescoring", "rnnt_greedy_search", "rnnt_beam_search",
-    "rnnt_beam_attn_rescoring",
+    "rnnt_beam_attn_rescoring", "ctc_beam_td_attn_rescoring",
 ]
 
 
@@ -217,6 +217,13 @@ def main():
                     context_lengths=(jnp.asarray(ctx_lens)
                                      if ctx_lens is not None else None))
                 hyps = decoder.rnnt_beam_to_lists(res)
+            elif args.mode == "ctc_beam_td_attn_rescoring":
+                hyps = decoder.ctc_beam_td_attn_rescoring(
+                    feats, feat_lens, beam=args.beam_size,
+                    ctc_weight=args.ctc_weight,
+                    transducer_weight=args.transducer_weight,
+                    attn_weight=args.attn_weight,
+                    reverse_weight=args.reverse_weight, **kw)
             elif args.mode == "rnnt_beam_attn_rescoring":
                 hyps = decoder.rnnt_beam_attn_rescoring(
                     feats, feat_lens, beam=args.beam_size,

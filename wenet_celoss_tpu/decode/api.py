@@ -320,6 +320,57 @@ class Decoder:
         return [[int(x) for x in toks[i, :lens[i]]]
                 for i in range(toks.shape[0])]
 
+    def ctc_beam_td_attn_rescoring_arrays(self, feats, feat_lens,
+                                          beam: int = 10,
+                                          ctc_weight: float = 0.0,
+                                          transducer_weight: float = 0.0,
+                                          attn_weight: float = 0.0,
+                                          reverse_weight: float = 0.0,
+                                          **kw):
+        """Device-array variant of :meth:`ctc_beam_td_attn_rescoring`:
+        (best_tokens [B, U], best_lens [B]). CTC prefix-beam proposals
+        re-ranked by ``attn_weight·att + ctc_weight·beam_score +
+        transducer_weight·td_score`` — the reference's 8th decode mode
+        (`wenet/bin/recognize.py:321`, `transducer_attention_rescoring`
+        with ``beam_search_type='ctc'``, `transducer.py:379-513`)."""
+        _, res, enc, mask = Decoder.ctc_prefix_beam_search(
+            self, feats, feat_lens, beam=beam, **kw)
+
+        def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
+                      rw):
+            return self.model.apply(
+                self.params, memory, memory_mask, hyps_in, hyps_lens,
+                r_hyps_in, rw, method="decoder_scores")
+
+        att = rescoring.score_hyps_with_decoder(
+            scores_fn, enc, mask, res["tokens"], res["lens"],
+            self.model.sos, self.model.eos, reverse_weight)
+        td = self.model.apply(self.params, enc, mask, res["tokens"],
+                              res["lens"], method="transducer_score")
+        total = (attn_weight * att + ctc_weight * res["scores"]
+                 + transducer_weight * td)
+        best = jnp.argmax(total, axis=1)
+        best_tokens = jnp.take_along_axis(
+            res["tokens"], best[:, None, None], axis=1)[:, 0]
+        best_lens = jnp.take_along_axis(res["lens"], best[:, None],
+                                        axis=1)[:, 0]
+        return best_tokens, best_lens
+
+    def ctc_beam_td_attn_rescoring(self, feats, feat_lens, beam: int = 10,
+                                   ctc_weight: float = 0.0,
+                                   transducer_weight: float = 0.0,
+                                   attn_weight: float = 0.0,
+                                   reverse_weight: float = 0.0,
+                                   **kw) -> List[List[int]]:
+        toks, lens = self.ctc_beam_td_attn_rescoring_arrays(
+            feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
+            transducer_weight=transducer_weight, attn_weight=attn_weight,
+            reverse_weight=reverse_weight, **kw)
+        toks = np.asarray(toks)
+        lens = np.asarray(lens)
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]
+
     def rnnt_beam_attn_rescoring(self, feats, feat_lens, beam: int = 5,
                                  attn_weight: float = 1.0,
                                  transducer_weight: float = 1.0,

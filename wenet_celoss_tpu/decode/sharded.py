@@ -93,8 +93,24 @@ class ShardedDecoder(Decoder):
     SUPPORTED_MODES = frozenset({
         "attention", "ctc_greedy_search", "ctc_prefix_beam_search",
         "attention_rescoring", "rnnt_greedy_search", "rnnt_beam_search",
-        "rnnt_beam_attn_rescoring",
+        "rnnt_beam_attn_rescoring", "ctc_beam_td_attn_rescoring",
     })
+
+    def ctc_beam_td_attn_rescoring(self, feats, feat_lens, beam: int = 10,
+                                   ctc_weight: float = 0.0,
+                                   transducer_weight: float = 0.0,
+                                   attn_weight: float = 0.0,
+                                   reverse_weight: float = 0.0,
+                                   **kw) -> List[List[int]]:
+        feats, feat_lens, n = self._place(feats, feat_lens)
+        toks, lens = self.ctc_beam_td_attn_rescoring_arrays(
+            feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
+            transducer_weight=transducer_weight, attn_weight=attn_weight,
+            reverse_weight=reverse_weight, **kw)
+        toks, lens = exchange(self.mesh, toks, lens)
+        toks = np.asarray(toks)[:n]
+        lens = np.asarray(lens)[:n]
+        return [[int(x) for x in toks[i, :lens[i]]] for i in range(n)]
 
     def __init__(self, model, variables, mesh):
         super().__init__(model, shard_state(mesh, variables))

@@ -234,3 +234,42 @@ class Transducer(ASRModel):
     def joint_step(self, enc_t, pred_u):
         """[B, E] x [B, P] → joint logits [B, V]."""
         return self.joint.single(enc_t, pred_u)
+
+    def predictor_forward(self, ys_in):
+        """Whole-sequence predictor forward (blank-prepended labels)."""
+        return self.predictor(ys_in, deterministic=True)
+
+    def joint_forward(self, encoder_out, predictor_out):
+        """Materialized joint [B, T, U+1, V] (small inputs only)."""
+        return self.joint(encoder_out, predictor_out)
+
+    def transducer_score(self, encoder_out, enc_pad_mask, hyps, hyps_lens):
+        """Per-hypothesis transducer log-probability: −RNNT loss of each
+        label sequence given the (plain) encoder output — the scoring
+        half of the reference's `_cal_transducer_score`
+        (`wenet/transducer/transducer.py:277-302`), batched over the
+        whole n-best and computed with the streaming-V loss so the
+        [B·N, T, U, V] joint never materializes.
+
+        Args: encoder_out [B, T, E]; enc_pad_mask [B, T];
+              hyps [B, N, U] (padding arbitrary); hyps_lens [B, N].
+        Returns: scores [B, N].
+        """
+        from wenet_celoss_tpu.ops.rnnt_loss import rnnt_loss_streaming
+        b, n, u = hyps.shape
+        flat = hyps.reshape(b * n, u)
+        flat_lens = hyps_lens.reshape(b * n)
+        memory = jnp.repeat(encoder_out, n, axis=0)
+        enc_lens = jnp.repeat(
+            jnp.sum(enc_pad_mask.astype(jnp.int32), axis=1), n, axis=0)
+        valid = jnp.arange(u)[None, :] < flat_lens[:, None]
+        toks = jnp.where(valid, flat, 0)
+        ys_in = add_blank(flat, flat_lens, self.blank, self.ignore_id)
+        predictor_out = self.predictor(ys_in, deterministic=True)
+        enc_j, pred_j = self.joint.project(memory, predictor_out)
+        w_out, b_out = self.joint.output_params()
+        losses = rnnt_loss_streaming(
+            enc_j, pred_j, w_out, b_out, toks, enc_lens, flat_lens,
+            self.blank, activation=self.joint.activation,
+            chunk=self.streaming_chunk)
+        return -losses.reshape(b, n)
