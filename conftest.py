@@ -16,3 +16,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-bound on CPU
+# (custom-VJP scans, sharded programs); repeat runs and xdist workers
+# reuse each other's compiles.
+from wenet_celoss_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

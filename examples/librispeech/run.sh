@@ -45,7 +45,15 @@ if [ "${smoke}" = true ]; then
   test_sets="test-clean"
   average_num=1
   spm_vocab=60
-  num_epochs=2
+  num_epochs=30
+  # Tiny models decode faster on the host CPU than they can pay the
+  # TPU-tunnel's cold-compile latency; the persistent compilation cache
+  # (utils/platform.enable_compilation_cache) makes repeat smokes cheap.
+  export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+  # The smoke is an ACCURACY gate: the synthetic corpus is learnable
+  # (word↔tone, tools/make_smoke_data.py) and stage 4 asserts WER below
+  # this ceiling for every decode mode, failing the script otherwise.
+  wer_ceiling=10.0
   # shrink every tower; static batching keeps the smoke deterministic
   for ov in "encoder_conf.num_blocks 2" "encoder_conf.output_size 64" \
       "encoder_conf.attention_heads 2" "encoder_conf.linear_units 64" \
@@ -61,7 +69,8 @@ if [ "${smoke}" = true ]; then
       "dataset_conf.batch_conf.batch_size 4" \
       "dataset_conf.filter_conf.min_length 0" \
       "dataset_conf.fbank_conf.dither 0.0" "dtype float32" \
-      "scheduler_conf.warmup_steps 4" "accum_grad 1"; do
+      "scheduler_conf.warmup_steps 40" "optim_conf.lr 0.005" \
+      "accum_grad 1"; do
     train_extra+=(--override_config "${ov}")
   done
 fi
@@ -160,6 +169,19 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
         --result_file ${out}/text
       python ${tools}/compute_wer.py data/${test_set}/text ${out}/text \
         > ${out}/wer
+      tail -1 ${out}/wer
+      if [ "${smoke}" = true ]; then
+        # Accuracy gate: the smoke corpus is learnable by construction;
+        # a WER above the ceiling is a training/decode regression.
+        wer=$(grep -o 'WER [0-9.]*' ${out}/wer | awk '{print $2}')
+        ok=$(awk -v w="${wer}" -v c="${wer_ceiling}" \
+             'BEGIN{print (w <= c) ? 1 : 0}')
+        if [ "${ok}" != "1" ]; then
+          echo "SMOKE FAIL: ${mode} ${test_set} WER ${wer}% >" \
+               "ceiling ${wer_ceiling}%"
+          exit 1
+        fi
+      fi
     done
   done
 fi

@@ -73,3 +73,30 @@ state = ex.train_epoch(state, iter(batches), epoch=0)
 steps = int(state.step)
 assert steps == 2, f"expected 2 joined steps, got {steps}"
 print(f"proc{pid}: steps={steps} OK", flush=True)
+
+# Cross-PROCESS sharded decode: each host brings its LOCAL utterances,
+# the searches run SPMD over the 4-device mesh, and the collective
+# exchange must leave EVERY process holding the identical full batch
+# (the pod contract in decode/sharded.py — previously only proven on a
+# single-process 8-device mesh).
+from wenet_celoss_tpu.decode.sharded import ShardedDecoder  # noqa: E402
+
+dec = ShardedDecoder(model, {"params": state.params}, mesh)
+# Same global corpus on both hosts, DIFFERENT local halves; 3 utts per
+# host exercises the local padding path (pad to the 2-device share of 4).
+corpus_rng = np.random.default_rng(77)
+all_feats = corpus_rng.standard_normal((6, t, 8)).astype(np.float32)
+all_lens = np.full((6,), t, np.int32)
+local = slice(0, 3) if pid == 0 else slice(3, 6)
+hyps = dec.ctc_greedy_search(jnp.asarray(all_feats[local]),
+                             jnp.asarray(all_lens[local]))
+assert len(hyps) == 6, len(hyps)
+resc = dec.attention_rescoring(jnp.asarray(all_feats[local]),
+                               jnp.asarray(all_lens[local]), beam=3)
+assert len(resc) == 6, len(resc)
+# Every process prints the same fingerprint of the FULL result set; the
+# parent test asserts the two lines are identical.
+fp = repr((hyps, resc))
+import hashlib  # noqa: E402
+print(f"decode_fp {hashlib.sha1(fp.encode()).hexdigest()}", flush=True)
+print(f"proc{pid}: decode OK", flush=True)

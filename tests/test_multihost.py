@@ -41,3 +41,9 @@ def test_two_process_distributed_uneven_batches():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out[-3000:]}"
         assert f"proc{i}: steps=2 OK" in out
+        assert f"proc{i}: decode OK" in out
+    # Both processes must materialize the IDENTICAL full decode results
+    # (the sharded-decode pod contract: every host holds every utterance).
+    fps = [[ln for ln in out.splitlines() if ln.startswith("decode_fp ")]
+           for out in outs]
+    assert fps[0] and fps[0] == fps[1], fps

@@ -28,10 +28,15 @@ def _free_port() -> int:
 
 @pytest.fixture(scope="session")
 def runtime_build():
+    import fcntl
     os.makedirs(BUILD, exist_ok=True)
-    subprocess.run(["cmake", "../core", "-G", "Ninja"], cwd=BUILD,
-                   check=True, capture_output=True)
-    subprocess.run(["ninja"], cwd=BUILD, check=True, capture_output=True)
+    # xdist: workers configure/build the shared tree one at a time.
+    with open(os.path.join(BUILD, ".build_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        subprocess.run(["cmake", "../core", "-G", "Ninja"], cwd=BUILD,
+                       check=True, capture_output=True)
+        subprocess.run(["ninja"], cwd=BUILD, check=True,
+                       capture_output=True)
     return BUILD
 
 

@@ -51,6 +51,8 @@ def get_frames_timestamp(alignment, blank: int = 0):
 
 
 def main():
+    from wenet_celoss_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="ctc forced alignment")
     parser.add_argument("--config", required=True)
     parser.add_argument("--data_type", default="raw")

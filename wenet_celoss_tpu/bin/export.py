@@ -28,6 +28,8 @@ import yaml
 
 
 def main():
+    from wenet_celoss_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="export your model")
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", required=True)
@@ -38,6 +40,12 @@ def main():
     parser.add_argument("--max_frames", type=int, default=2000)
     parser.add_argument("--beam", type=int, default=10)
     parser.add_argument("--max_hyp_len", type=int, default=64)
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "int8"],
+                        help="int8: weight-only per-channel PTQ — the "
+                             "exported artifacts embed the quantized "
+                             "weights and the param bundle ships as int8 "
+                             "(reference export_jit.py:55-69 analog)")
     args = parser.parse_args()
 
     import jax
@@ -58,6 +66,14 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), *ex)
     variables["params"] = ckpt.load_checkpoint(variables["params"],
                                                args.checkpoint)
+    if args.quantize == "int8":
+        # Quantize → dequantize BEFORE lowering, so every StableHLO
+        # artifact's embedded constants are exactly the weights the int8
+        # bundle reconstructs (serving numerics == shipped params).
+        from wenet_celoss_tpu.utils.quantize import (dequantize_params,
+                                                     quantize_params)
+        variables["params"] = dequantize_params(
+            quantize_params(variables["params"]))
 
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -122,8 +138,15 @@ def main():
                            "decoder_scores.stablehlo"), "wb") as f:
         f.write(exp3.serialize())
 
-    ckpt.save_checkpoint(variables["params"],
-                         os.path.join(args.output_dir, "params.mspk"))
+    if args.quantize == "int8":
+        from wenet_celoss_tpu.utils.quantize import save_quantized
+        params_name = "params_int8.mspk"
+        save_quantized(variables["params"],
+                       os.path.join(args.output_dir, params_name))
+    else:
+        params_name = "params.mspk"
+        ckpt.save_checkpoint(variables["params"],
+                             os.path.join(args.output_dir, params_name))
     manifest = {
         "subsampling_rate": sub,
         "right_context": rctx,
@@ -133,10 +156,11 @@ def main():
         "feat_dim": feat_dim,
         "vocab_size": configs["output_dim"],
         "sos": int(model.sos), "eos": int(model.eos),
+        "quantize": args.quantize,
         "artifacts": (["encoder_ctc.stablehlo"]
                       + (["encoder_chunk_ctc.stablehlo"] if streamable
                          else [])
-                      + ["decoder_scores.stablehlo", "params.mspk"]),
+                      + ["decoder_scores.stablehlo", params_name]),
     }
     with open(os.path.join(args.output_dir, "manifest.yaml"), "w") as f:
         yaml.dump(manifest, f)

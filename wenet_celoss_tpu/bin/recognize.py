@@ -72,6 +72,8 @@ def main():
     args = get_args()
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
+    from wenet_celoss_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
 
     from wenet_celoss_tpu.data.dataset import Dataset
     from wenet_celoss_tpu.decode.api import Decoder

@@ -298,6 +298,8 @@ class Worker:
 
 
 def main():
+    from wenet_celoss_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", default=None)

@@ -58,8 +58,10 @@ def main():
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(message)s")
-    from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
+    from wenet_celoss_tpu.utils.platform import (
+        configure_tpu_runtime, enable_compilation_cache)
     configure_tpu_runtime()
+    enable_compilation_cache()
     if args.distributed:
         jax.distributed.initialize()
     rank = jax.process_index()

@@ -102,15 +102,16 @@ class ShardedDecoder(Decoder):
                                    attn_weight: float = 0.0,
                                    reverse_weight: float = 0.0,
                                    **kw) -> List[List[int]]:
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         toks, lens = self.ctc_beam_td_attn_rescoring_arrays(
             feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
             transducer_weight=transducer_weight, attn_weight=attn_weight,
             reverse_weight=reverse_weight, **kw)
         toks, lens = exchange(self.mesh, toks, lens)
-        toks = np.asarray(toks)[:n]
-        lens = np.asarray(lens)[:n]
-        return [[int(x) for x in toks[i, :lens[i]]] for i in range(n)]
+        toks = np.asarray(take(toks))
+        lens = np.asarray(take(lens))
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]
 
     def __init__(self, model, variables, mesh):
         super().__init__(model, shard_state(mesh, variables))
@@ -118,11 +119,26 @@ class ShardedDecoder(Decoder):
 
     # ------------------------------------------------------------- placement
     def _place(self, feats, feat_lens):
-        """Pad the batch to the data-axis size and shard it. Returns
-        (feats, feat_lens, n_real); padding rows use full-length zero
-        audio and are dropped after the exchange."""
+        """Pad the batch to the data-axis share and shard it. Returns
+        (feats, feat_lens, take) where ``take(arr)`` drops the padding
+        rows from an exchanged (replicated) result.
+
+        Single process: the batch is global; pad to the data-axis size.
+        Multi-host pod: each process passes its LOCAL utterances (the
+        DistributedSampler analog); locals pad to the per-process share
+        of the data axis (all hosts must bring the same local count) and
+        assemble via `jax.make_array_from_process_local_data` — process
+        p's rows land at global rows [p·share, (p+1)·share), so ``take``
+        stitches every host's real rows back together after the
+        collective exchange."""
         n_real = int(feats.shape[0])
-        pad = (-n_real) % self.mesh.shape["data"]
+        multi = jax.process_count() > 1
+        share = self.mesh.shape["data"]
+        if multi:
+            assert share % jax.process_count() == 0, \
+                (share, jax.process_count())
+            share //= jax.process_count()
+        pad = (-n_real) % share
         if pad:
             feats = jnp.concatenate(
                 [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)])
@@ -130,21 +146,45 @@ class ShardedDecoder(Decoder):
                 [feat_lens,
                  jnp.full((pad,), feats.shape[1], feat_lens.dtype)])
         bsh = batch_sharding(self.mesh)
+        if multi:
+            from jax.experimental import multihost_utils
+            padded = n_real + pad
+            counts = multihost_utils.process_allgather(
+                np.asarray([n_real, padded], np.int32))
+            counts = np.asarray(counts).reshape(jax.process_count(), 2)
+            assert (counts[:, 1] == padded).all(), \
+                f"hosts brought unequal padded batches: {counts[:, 1]}"
+            feats = jax.make_array_from_process_local_data(
+                bsh, np.asarray(feats))
+            feat_lens = jax.make_array_from_process_local_data(
+                bsh, np.asarray(feat_lens))
+
+            def take(arr):
+                arr = np.asarray(arr)
+                return np.concatenate(
+                    [arr[p * padded:p * padded + int(counts[p, 0])]
+                     for p in range(counts.shape[0])], axis=0)
+
+            return feats, feat_lens, take
+
+        def take(arr):
+            return arr[:n_real]
+
         return (jax.device_put(feats, bsh), jax.device_put(feat_lens, bsh),
-                n_real)
+                take)
 
     # ----------------------------------------------------------------- modes
     def ctc_greedy_search(self, feats, feat_lens, **kw) -> List[List[int]]:
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         _, mask, ctc_lp = self._encode(feats, feat_lens, **kw)
         ids, _ = ctc_greedy.ctc_greedy_frames(ctc_lp, mask)
         (ids,) = exchange(self.mesh, ids)
-        ids = np.asarray(ids)[:n]
+        ids = np.asarray(take(ids))
         return [remove_duplicates_and_blank(row) for row in ids]
 
     def ctc_prefix_beam_search(self, feats, feat_lens, beam: int = 10,
                                first_beam: Optional[int] = None, **kw):
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         enc, mask, ctc_lp = self._encode(feats, feat_lens, **kw)
         lens = jnp.sum(mask.astype(jnp.int32), axis=1)
         res = ctc_prefix_beam.ctc_prefix_beam_search(
@@ -156,28 +196,29 @@ class ShardedDecoder(Decoder):
         tokens, tlens, scores, vit, times = exchange(
             self.mesh, res["tokens"], res["lens"], res["scores"],
             res["viterbi"], res["times"])
-        res_full = dict(res, tokens=tokens[:n], lens=tlens[:n],
-                        scores=scores[:n], viterbi=vit[:n],
-                        times=times[:n])
+        res_full = dict(res, tokens=take(tokens), lens=take(tlens),
+                        scores=take(scores), viterbi=take(vit),
+                        times=take(times))
         return (ctc_prefix_beam.nbest_to_lists(res_full, 1), res_full,
                 enc, mask)
 
     def attention(self, feats, feat_lens, beam: int = 10,
                   max_len: int = 0, **kw) -> List[List[int]]:
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         hyps, lens = self.attention_arrays(feats, feat_lens, beam=beam,
                                            max_len=max_len, **kw)
         # Only the per-utterance winners travel the collective.
         best_toks, best_lens = exchange(self.mesh, hyps[:, 0], lens[:, 0])
-        toks = np.asarray(best_toks)[:n]
-        tlens = np.asarray(best_lens)[:n]
-        return [[int(x) for x in toks[i, :tlens[i]]] for i in range(n)]
+        toks = np.asarray(take(best_toks))
+        tlens = np.asarray(take(best_lens))
+        return [[int(x) for x in toks[i, :tlens[i]]]
+                for i in range(toks.shape[0])]
 
     def attention_rescoring(self, feats, feat_lens, beam: int = 10,
                             ctc_weight: float = 0.0,
                             reverse_weight: float = 0.0,
                             **kw) -> List[List[int]]:
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         # attention_rescoring_arrays already bypasses this class's
         # ctc_prefix_beam_search override (explicit Decoder call): the
         # n-best stays padded + batch-sharded through the rescoring
@@ -186,9 +227,10 @@ class ShardedDecoder(Decoder):
             feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
             reverse_weight=reverse_weight, **kw)
         best_tokens, best_lens = exchange(self.mesh, best_tokens, best_lens)
-        toks = np.asarray(best_tokens)[:n]
-        lens = np.asarray(best_lens)[:n]
-        return [[int(x) for x in toks[i, :lens[i]]] for i in range(n)]
+        toks = np.asarray(take(best_tokens))
+        lens = np.asarray(take(best_lens))
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]
 
     def rnnt_greedy_search(self, feats, feat_lens, n_steps: int = 4,
                            context_list=None, context_lengths=None,
@@ -202,33 +244,34 @@ class ShardedDecoder(Decoder):
                 context_list=context_list,
                 context_lengths=context_lengths,
                 context_filter_state=context_filter_state)
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         toks, lens, gates = self.rnnt_greedy_arrays(
             feats, feat_lens, n_steps=n_steps, context_list=context_list,
             context_lengths=context_lengths,
             context_filter_state=context_filter_state)
         if gates is not None:
             toks, lens, gates = exchange(self.mesh, toks, lens, gates)
-            self.last_gates = (np.asarray(gates)[:n], np.asarray(lens)[:n])
+            self.last_gates = (np.asarray(take(gates)),
+                               np.asarray(take(lens)))
         else:
             toks, lens = exchange(self.mesh, toks, lens)
-        toks = np.asarray(toks)[:n]
-        lens = np.asarray(lens)[:n]
+        toks = np.asarray(take(toks))
+        lens = np.asarray(take(lens))
         return rnnt_greedy.greedy_to_lists(toks, lens)
 
     def rnnt_beam_search(self, feats, feat_lens, beam: int = 5,
                          ctc_weight: float = 0.0,
                          transducer_weight: float = 1.0,
                          context_list=None, context_lengths=None):
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         res, enc_use, mask = super().rnnt_beam_search(
             feats, feat_lens, beam=beam, ctc_weight=ctc_weight,
             transducer_weight=transducer_weight,
             context_list=context_list, context_lengths=context_lengths)
         tokens, tlens, scores = exchange(
             self.mesh, res["tokens"], res["lens"], res["scores"])
-        res = dict(res, tokens=tokens[:n], lens=tlens[:n],
-                   scores=scores[:n])
+        res = dict(res, tokens=take(tokens), lens=take(tlens),
+                   scores=take(scores))
         return res, enc_use, mask
 
     def rnnt_beam_attn_rescoring(self, feats, feat_lens, beam: int = 5,
@@ -239,7 +282,7 @@ class ShardedDecoder(Decoder):
                                  context_list=None, context_lengths=None
                                  ) -> List[List[int]]:
         from wenet_celoss_tpu.decode import rescoring
-        feats, feat_lens, n = self._place(feats, feat_lens)
+        feats, feat_lens, take = self._place(feats, feat_lens)
         # Padded + sharded all the way through the attention re-rank; the
         # per-utterance winners are exchanged at the end.
         res, enc, mask = Decoder.rnnt_beam_search(
@@ -263,6 +306,7 @@ class ShardedDecoder(Decoder):
                                    axis=1)[:, 0]
         lens = jnp.take_along_axis(res["lens"], best[:, None], axis=1)[:, 0]
         toks, lens = exchange(self.mesh, toks, lens)
-        toks = np.asarray(toks)[:n]
-        lens = np.asarray(lens)[:n]
-        return [[int(x) for x in toks[i, :lens[i]]] for i in range(n)]
+        toks = np.asarray(take(toks))
+        lens = np.asarray(take(lens))
+        return [[int(x) for x in toks[i, :lens[i]]]
+                for i in range(toks.shape[0])]

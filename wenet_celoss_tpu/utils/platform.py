@@ -29,3 +29,27 @@ def configure_tpu_runtime() -> None:
             jax.config.update("jax_default_prng_impl", "unsafe_rbg")
         except Exception:
             pass  # older jax without the option — keep the default
+
+
+def enable_compilation_cache(
+        path: str = os.path.expanduser("~/.cache/wenet_celoss_tpu/jit"),
+) -> None:
+    """Persistent XLA compilation cache shared by every CLI invocation.
+
+    The recognize CLI pays a cold multi-minute XLA compile per decode
+    mode per process; the reference never has this problem (eager
+    torch). With the cache, a recipe's four decode stages compile once
+    ever per (program, shape). Safe to call multiple times; env
+    JAX_COMPILATION_CACHE_DIR wins. Off when the dir can't be created
+    (read-only containers)."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything that took ≥1s to compile, however small.
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

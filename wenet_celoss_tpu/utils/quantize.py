@@ -1,0 +1,72 @@
+"""Weight-only int8 post-training quantization for export bundles.
+
+The reference ships a dynamically-quantized TorchScript model alongside
+the float one (`wenet/bin/export_jit.py:55-69`: torch dynamic
+quantization = int8 weights, activations quantized on the fly). The
+TPU-native analog here is weight-only symmetric int8 with per-output-
+channel scales: every ≥2-D kernel is stored as (int8 q, fp32 scale) and
+dequantized to the compute dtype at load — a 4× smaller serving bundle
+with the same matmul path (on TPU the MXU computes bf16 either way;
+int8×int8 MXU matmuls need activation quantization, which trades
+accuracy for speed the serving stack does not need at these model
+sizes — see ROADMAP).
+
+Quantized entries replace the weight leaf with a dict
+``{"__q8__": q int8 [..., C], "scale": fp32 [C]}``; 1-D leaves
+(biases, LayerNorm) stay fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+_Q_KEY = "__q8__"
+
+
+def _is_quantizable(x) -> bool:
+    return (hasattr(x, "ndim") and x.ndim >= 2
+            and np.issubdtype(np.asarray(x).dtype, np.floating))
+
+
+def quantize_params(params):
+    """fp32 params pytree → pytree with int8-quantized kernels."""
+    def q(x):
+        if not _is_quantizable(x):
+            return np.asarray(x)
+        w = np.asarray(x, np.float32)
+        scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+        scale = np.maximum(scale, 1e-12).astype(np.float32)
+        qw = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        return {_Q_KEY: qw, "scale": scale}
+
+    return jax.tree_util.tree_map(q, params)
+
+
+def dequantize_params(qparams):
+    """Inverse of :func:`quantize_params` (fp32 reconstruction)."""
+    def is_q(x):
+        return isinstance(x, dict) and _Q_KEY in x
+
+    def dq(x):
+        if is_q(x):
+            return (x[_Q_KEY].astype(np.float32)
+                    * np.asarray(x["scale"], np.float32))
+        return x
+
+    return jax.tree_util.tree_map(dq, qparams, is_leaf=is_q)
+
+
+def save_quantized(params, path: str) -> None:
+    from flax import serialization
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, quantize_params(params))))
+
+
+def load_quantized(path: str):
+    """Load an int8 bundle back to an fp32 params pytree."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    return dequantize_params(tree)
