@@ -138,7 +138,7 @@ class TestASRModel:
                                chunk_rng=jax.random.PRNGKey(1),
                                rngs={"dropout": jax.random.PRNGKey(2)})["loss"]
 
-        grads = jax.grad(loss_fn)(params)
+        grads = jax.jit(jax.grad(loss_fn))(params)
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
         # At least some gradient mass reaches the encoder.

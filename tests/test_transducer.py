@@ -139,7 +139,7 @@ class TestTransducer:
                 chunk_rng=jax.random.PRNGKey(1),
                 rngs={"dropout": jax.random.PRNGKey(2)})["loss"]
 
-        grads = jax.grad(loss_fn)(params)
+        grads = jax.jit(jax.grad(loss_fn))(params)
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         # Context-bias params receive gradient.

@@ -20,19 +20,63 @@ from wenet_celoss_tpu.decode import (
 from wenet_celoss_tpu.utils.common import remove_duplicates_and_blank
 
 
+class _TailStaticJit:
+    """jax.jit wrapper whose last N positional args are static (hashable
+    python values driving control flow inside the model)."""
+
+    def __init__(self, fn, n_tail: int):
+        self._fn = fn
+        self._n = n_tail
+        self._jitted = {}
+
+    def __call__(self, *args):
+        n = self._n
+        dyn, tail = args[:-n], tuple(args[-n:])
+        fn = self._jitted.get(tail)
+        if fn is None:
+            fn = jax.jit(lambda *a: self._fn(*a, *tail))
+            self._jitted[tail] = fn
+        return fn(*dyn)
+
+
 class Decoder:
     """Stateful wrapper binding a model + params to decode calls."""
 
     def __init__(self, model, params):
         self.model = model
         self.params = params
+        self._jits = {}
+
+    def _m(self, method: str, n_static_tail: int = 0):
+        """Jitted ``model.apply(params, *args, method=method)``.
+
+        Eager apply dispatches the network op-by-op (hundreds of tiny
+        executables per decode on TPU); one jit per method compiles the
+        whole tower and hits the persistent compilation cache across
+        processes. The last ``n_static_tail`` positional args are static
+        (python control flow inside the model: chunk sizes, reverse
+        weight)."""
+        key = (method, n_static_tail)
+        fn = self._jits.get(key)
+        if fn is None:
+            def apply(params, *args, _method=method):
+                return self.model.apply(params, *args, method=_method)
+
+            if n_static_tail:
+                # static argnums are counted from the end of the call's
+                # actual positional args; resolved at call time below.
+                fn = _TailStaticJit(apply, n_static_tail)
+            else:
+                fn = jax.jit(apply)
+            self._jits[key] = fn
+        return fn
 
     # -------------------------------------------------------------- CTC/AED
     def encode_ctc(self, feats, feat_lens, decoding_chunk_size=-1,
                    num_decoding_left_chunks=-1):
-        return self.model.apply(
-            self.params, feats, feat_lens, decoding_chunk_size,
-            num_decoding_left_chunks, method="encode_ctc")
+        return self._m("encode_ctc", n_static_tail=2)(
+            self.params, feats, feat_lens, int(decoding_chunk_size),
+            int(num_decoding_left_chunks))
 
     def encode_ctc_streaming(self, feats, feat_lens, decoding_chunk_size,
                              num_decoding_left_chunks=-1):
@@ -93,7 +137,16 @@ class Decoder:
         res = ctc_prefix_beam.ctc_prefix_beam_search(
             ctc_lp, lens, beam=beam,
             first_beam=first_beam if first_beam else beam)
-        return ctc_prefix_beam.nbest_to_lists(res, 1), res, enc, mask
+        # In a multi-host pod the un-exchanged result spans
+        # non-addressable devices — host lists only exist after the
+        # ShardedDecoder's collective exchange (which re-materializes
+        # them itself); rescoring consumers use `res` directly.
+        lists = None
+        tok = res["tokens"]
+        if not (isinstance(tok, jax.Array)
+                and not tok.is_fully_addressable):
+            lists = ctc_prefix_beam.nbest_to_lists(res, 1)
+        return lists, res, enc, mask
 
     def attention_arrays(self, feats, feat_lens, beam: int = 10,
                          max_len: int = 0, **kw):
@@ -137,9 +190,9 @@ class Decoder:
 
         def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
                       rw):
-            return self.model.apply(
+            return self._m("decoder_scores", n_static_tail=1)(
                 self.params, memory, memory_mask, hyps_in, hyps_lens,
-                r_hyps_in, rw, method="decoder_scores")
+                r_hyps_in, float(rw))
 
         best_tokens, best_lens, _ = rescoring.attention_rescoring(
             scores_fn, enc, mask, res, self.model.sos, self.model.eos,
@@ -184,11 +237,10 @@ class Decoder:
         model, params = self.model, self.params
         bias_hidden = None
         if context_list is not None:
-            bias_hidden = model.apply(params, context_list,
-                                      context_lengths, method="bias_hidden")
-        enc, enc_biased, enc_bias, mask = model.apply(
-            params, feats, feat_lens, bias_hidden,
-            method="encode_transducer")
+            bias_hidden = self._m("bias_hidden")(params, context_list,
+                                                 context_lengths)
+        enc, enc_biased, enc_bias, mask = self._m("encode_transducer")(
+            params, feats, feat_lens, bias_hidden)
         enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
         predictor_step, joint_step, init_state = self._transducer_fns(b)
 
@@ -202,11 +254,10 @@ class Decoder:
         # list (sentinel [0] only) — reference `greedy_search.py:64-73`.
         ctx_empty = jnp.zeros((1, 1), jnp.int32)
         ctx_empty_lens = jnp.ones((1,), jnp.int32)
-        bias_hidden_empty = model.apply(
-            params, ctx_empty, ctx_empty_lens, method="bias_hidden")
-        _, enc_empty_biased, _, _ = model.apply(
-            params, feats, feat_lens, bias_hidden_empty,
-            method="encode_transducer")
+        bias_hidden_empty = self._m("bias_hidden")(
+            params, ctx_empty, ctx_empty_lens)
+        _, enc_empty_biased, _, _ = self._m("encode_transducer")(
+            params, feats, feat_lens, bias_hidden_empty)
 
         def predictor_bias_step(pred_out):
             return model.apply(params, bias_hidden, pred_out,
@@ -276,11 +327,10 @@ class Decoder:
         model, params = self.model, self.params
         bias_hidden = None
         if context_list is not None:
-            bias_hidden = model.apply(params, context_list,
-                                      context_lengths, method="bias_hidden")
-        enc, enc_biased, _, mask = model.apply(
-            params, feats, feat_lens, bias_hidden,
-            method="encode_transducer")
+            bias_hidden = self._m("bias_hidden")(params, context_list,
+                                                 context_lengths)
+        enc, enc_biased, _, mask = self._m("encode_transducer")(
+            params, feats, feat_lens, bias_hidden)
         enc_use = enc_biased if bias_hidden is not None else enc
         enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
         predictor_step, joint_step, _ = self._transducer_fns(b * beam)
@@ -288,7 +338,7 @@ class Decoder:
                                  method="predictor_init_state")
         ctc_lp = None
         if ctc_weight > 0.0:
-            ctc_lp = model.apply(params, enc_use, method="ctc_logprobs")
+            ctc_lp = self._m("ctc_logprobs")(params, enc_use)
 
         if bias_hidden is not None:
             def joint_biased(enc_t, pred_u):
@@ -338,15 +388,15 @@ class Decoder:
 
         def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
                       rw):
-            return self.model.apply(
+            return self._m("decoder_scores", n_static_tail=1)(
                 self.params, memory, memory_mask, hyps_in, hyps_lens,
-                r_hyps_in, rw, method="decoder_scores")
+                r_hyps_in, float(rw))
 
         att = rescoring.score_hyps_with_decoder(
             scores_fn, enc, mask, res["tokens"], res["lens"],
             self.model.sos, self.model.eos, reverse_weight)
-        td = self.model.apply(self.params, enc, mask, res["tokens"],
-                              res["lens"], method="transducer_score")
+        td = self._m("transducer_score")(
+            self.params, enc, mask, res["tokens"], res["lens"])
         total = (attn_weight * att + ctc_weight * res["scores"]
                  + transducer_weight * td)
         best = jnp.argmax(total, axis=1)
@@ -387,9 +437,9 @@ class Decoder:
 
         def scores_fn(memory, memory_mask, hyps_in, hyps_lens, r_hyps_in,
                       rw):
-            return self.model.apply(
+            return self._m("decoder_scores", n_static_tail=1)(
                 self.params, memory, memory_mask, hyps_in, hyps_lens,
-                r_hyps_in, rw, method="decoder_scores")
+                r_hyps_in, float(rw))
 
         att = rescoring.score_hyps_with_decoder(
             scores_fn, enc, mask, res["tokens"], res["lens"],

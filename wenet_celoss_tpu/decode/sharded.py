@@ -160,6 +160,13 @@ class ShardedDecoder(Decoder):
                 bsh, np.asarray(feat_lens))
 
             def take(arr):
+                # The exchanged array is fully replicated, but it spans
+                # non-addressable devices, so jax refuses np.asarray on
+                # it; any ADDRESSABLE shard already holds the complete
+                # value.
+                if isinstance(arr, jax.Array) and \
+                        not arr.is_fully_addressable:
+                    arr = arr.addressable_shards[0].data
                 arr = np.asarray(arr)
                 return np.concatenate(
                     [arr[p * padded:p * padded + int(counts[p, 0])]
