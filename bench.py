@@ -78,9 +78,11 @@ def bench_decode(emit=print):
     from wenet_celoss_tpu.configs import conformer_rnnt_bias, u2pp_conformer
     from wenet_celoss_tpu.decode.api import Decoder
     from wenet_celoss_tpu.models.factory import init_model
-    from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
+    from wenet_celoss_tpu.utils.platform import (configure_tpu_runtime,
+                                                 enable_compilation_cache)
 
     configure_tpu_runtime()
+    enable_compilation_cache()
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)
     cfg["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -99,6 +101,18 @@ def bench_decode(emit=print):
                  jnp.full((4,), 3, jnp.int32),
                  jnp.asarray(rng.integers(0, 2, (2, 8)), jnp.int32))
     variables = model.init(jax.random.PRNGKey(0), *init_args)
+    # A randomly-initialized transducer argmaxes non-blank on ~every
+    # frame, driving greedy search down its degenerate worst-case path
+    # (u_max emissions); trained ASR models emit ≈ one token per word.
+    # Bias the joint's output layer toward blank so the benched emission
+    # rate matches production behavior (env BENCH_BLANK_BIAS to vary).
+    blank_bias = float(os.environ.get("BENCH_BLANK_BIAS", "4.0"))
+    if blank_bias != 0.0:
+        p = jax.tree_util.tree_map(lambda x: x, variables["params"])
+        bias = p["joint"]["ffn_out"]["bias"]
+        p["joint"]["ffn_out"]["bias"] = \
+            bias.at[model.blank].add(blank_bias)
+        variables = dict(variables, params=p)
     dec = Decoder(model, variables)
 
     iters = int(os.environ.get("BENCH_ITERS", "8"))
@@ -106,15 +120,38 @@ def bench_decode(emit=print):
     audio_s = b * t * 0.01
     results = {}
 
+    # Per-mode wall budget: a cold decode compile on the axon tunnel can
+    # take tens of minutes; the driver must still get the train record.
+    # With the persistent compilation cache a warm rerun is fast, so a
+    # mode that times out once self-heals on the next invocation.
+    budget = int(os.environ.get("BENCH_DECODE_BUDGET", "900"))
+
     def run(mode, fn):
-        # hyps come back as host lists — the conversion IS the sync point.
-        value = _median_rate(fn, audio_s, iters, windows)
+        import signal
+
+        def _timeout(signum, frame):
+            raise TimeoutError(mode)
+
+        old = signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(budget)
+        try:
+            # hyps come back as host lists — the conversion IS the sync
+            # point.
+            value = _median_rate(fn, audio_s, iters, windows)
+        except TimeoutError:
+            print(f"decode bench {mode}: exceeded {budget}s budget "
+                  f"(cold compile); skipped", file=sys.stderr)
+            return
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
         results[mode] = round(value, 2)
         emit(json.dumps({
             "metric": f"decode_throughput_{mode}",
             "value": round(value, 2),
             "unit": "audio-seconds/s/chip",
-            "vs_baseline": round(_vs_baseline(value), 3),
+            "vs_baseline": round(
+                _vs_baseline(value, key=f"decode_{mode}"), 3),
         }))
 
     run("ctc_greedy", lambda: dec.ctc_greedy_search(feats, lens))
@@ -143,11 +180,13 @@ def bench_train(emit=print, decode_results=None):
     from wenet_celoss_tpu.models.factory import init_model
     from wenet_celoss_tpu.parallel import train as T
     from wenet_celoss_tpu.utils.flops import train_step_flops
-    from wenet_celoss_tpu.utils.platform import configure_tpu_runtime
+    from wenet_celoss_tpu.utils.platform import (configure_tpu_runtime,
+                                                 enable_compilation_cache)
 
     # Hardware RNG for dropout (+106ms/step at B=256 with threefry;
     # see utils/platform.py). Env JAX_DEFAULT_PRNG_IMPL overrides.
     configure_tpu_runtime()
+    enable_compilation_cache()
 
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     cfg = conformer_rnnt_bias(tiny=tiny, vocab_size=1024)

@@ -45,7 +45,10 @@ if [ "${smoke}" = true ]; then
   test_sets="test-clean"
   average_num=1
   spm_vocab=60
-  num_epochs=30
+  # Shape-bucketed epochs run in ~2 s once the few bucket programs are
+  # compiled (first epoch pays them; the persistent cache keeps them
+  # across runs), so a real overfit budget is cheap.
+  num_epochs=40
   # Tiny models decode faster on the host CPU than they can pay the
   # TPU-tunnel's cold-compile latency; the persistent compilation cache
   # (utils/platform.enable_compilation_cache) makes repeat smokes cheap.
@@ -66,10 +69,12 @@ if [ "${smoke}" = true ]; then
       "context_conf.linear_units 64" "context_conf.num_block 1" \
       "context_conf.unified_hw_odim 16" \
       "dataset_conf.batch_conf.batch_type static" \
-      "dataset_conf.batch_conf.batch_size 4" \
+      "dataset_conf.batch_conf.batch_size 8" \
       "dataset_conf.filter_conf.min_length 0" \
       "dataset_conf.fbank_conf.dither 0.0" "dtype float32" \
       "scheduler_conf.warmup_steps 40" "optim_conf.lr 0.005" \
+      "dataset_conf.speed_perturb false" \
+      "dataset_conf.spec_aug false" \
       "accum_grad 1"; do
     train_extra+=(--override_config "${ov}")
   done
@@ -79,7 +84,7 @@ fi
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   if [ "${smoke}" = true ]; then
     echo "stage 0: generate synthetic smoke data"
-    python ${tools}/make_smoke_data.py --out_dir data \
+    python ${tools}/make_smoke_data.py --out_dir data --n_utts 200 \
       --parts ${train_sets} ${dev_set} ${test_sets}
   else
     echo "stage 0: prepare wav.scp/text from the LibriSpeech tree"

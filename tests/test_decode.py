@@ -149,11 +149,15 @@ class TestAttentionBeam:
         assert float(s4[0, 0]) >= float(s1[0, 0]) - 1e-5
 
 
+def _toy_w(v=4, p=3):
+    rng = np.random.default_rng(4)
+    return jnp.asarray(rng.standard_normal((p, v)), jnp.float32)
+
+
 def _toy_transducer(v=4, p=3):
     """A tiny deterministic 'transducer': pred_out = onehot(last token),
     joint = enc + W @ pred."""
-    rng = np.random.default_rng(4)
-    w = jnp.asarray(rng.standard_normal((p, v)), jnp.float32)
+    w = _toy_w(v, p)
 
     def predictor_step(tok, state, padding):
         onehot = jax.nn.one_hot(tok % p, p)
@@ -203,3 +207,35 @@ class TestRnntSearches:
         assert np.isfinite(np.asarray(res["scores"][:, 0])).all()
         # Beam best score ≥ score of any single path (sanity).
         assert (np.asarray(res["lens"]) <= 6).all()
+
+
+class TestLabelSyncGreedy:
+    """rnnt_greedy_search_labelsync must be decode-for-decode identical
+    to the frame-synchronous scan (same emissions, same per-frame
+    n_steps budget), across random joints and ragged lengths."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("n_steps", [1, 2, 4])
+    def test_matches_frame_sync(self, seed, n_steps):
+        from wenet_celoss_tpu.decode.rnnt_greedy import \
+            rnnt_greedy_search_labelsync
+        v, p, b, t = 5, 3, 4, 9
+        rng = np.random.default_rng(seed)
+        predictor_step, joint_step = _toy_transducer(v, p)
+        enc = jnp.asarray(rng.standard_normal((b, t, v)) * 2.5,
+                          jnp.float32)
+        lens = jnp.asarray(rng.integers(1, t + 1, (b,)), jnp.int32)
+
+        ref_t, ref_l = rnnt_greedy_search(
+            predictor_step, joint_step, jnp.zeros((b, p)), enc, lens,
+            n_steps=n_steps)
+
+        def joint_frames(pred_out):
+            return jnp.argmax(enc + (pred_out @ _toy_w(v, p))[:, None, :],
+                              axis=-1).astype(jnp.int32)
+
+        got_t, got_l = rnnt_greedy_search_labelsync(
+            predictor_step, joint_frames, jnp.zeros((b, p)), t, lens,
+            n_steps=n_steps)
+        assert greedy_to_lists(got_t, got_l) == \
+            greedy_to_lists(ref_t, ref_l)

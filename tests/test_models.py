@@ -197,49 +197,3 @@ class TestFusedFFNPallas:
         for a, b in zip(flat_g, flat_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
-
-
-class TestFusedRelAttentionPallas:
-    """Fused rel-pos attention kernel (interpret, CPU) vs the XLA path."""
-
-    def test_fwd_bwd_match(self, monkeypatch):
-        from functools import partial as _partial
-
-        import wenet_celoss_tpu.models.attention as AT
-        import wenet_celoss_tpu.ops.attention_pallas as AP
-        from wenet_celoss_tpu.models.attention import (
-            NEG_INF, RelPositionMultiHeadedAttention)
-
-        rng = np.random.default_rng(9)
-        b, t, d, h = 2, 13, 32, 4
-        x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
-        pos = jnp.asarray(rng.standard_normal((1, t, d)), jnp.float32)
-        maskb = jnp.asarray(rng.integers(0, 2, (b, t, t)), bool)
-        maskb = maskb | jnp.eye(t, dtype=bool)[None]
-        bias = jnp.where(maskb, 0.0, NEG_INF).astype(jnp.float32)
-        att = RelPositionMultiHeadedAttention(h, d, 0.0)
-        params = att.init({"params": jax.random.PRNGKey(0)}, x, x, x,
-                          bias, pos, deterministic=True)
-
-        def loss(p):
-            out = att.apply(p, x, x, x, bias, pos, deterministic=True)
-            # pad-row garbage differs between paths; mask fully-dead rows
-            alive = jnp.any(maskb, axis=-1)[..., None]
-            return jnp.mean(jnp.square(out * alive)), out * \
-                jnp.any(maskb, axis=-1)[..., None]
-
-        monkeypatch.setattr(AT, "_use_attn_pallas", lambda: False)
-        (_, y_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(params)
-
-        monkeypatch.setattr(AT, "_use_attn_pallas", lambda: True)
-        monkeypatch.setattr(AP, "rel_attention_fused",
-                            _partial(AP.rel_attention_fused,
-                                     interpret=True))
-        (_, y_got), g_got = jax.value_and_grad(loss, has_aux=True)(params)
-
-        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
-                                   rtol=2e-4, atol=2e-5)
-        for a, r in zip(jax.tree_util.tree_leaves(g_got),
-                        jax.tree_util.tree_leaves(g_ref)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
-                                       rtol=2e-4, atol=2e-5)

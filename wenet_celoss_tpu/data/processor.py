@@ -421,13 +421,19 @@ def hw_label_generate(labels: List[List[int]],
 # Padding to bucketed batch arrays
 # ----------------------------------------------------------------------
 
-def _bucket(n: int, buckets: Optional[List[int]]) -> int:
-    if not buckets:
-        return n
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
+def _bucket(n: int, buckets: Optional[List[int]], round_to: int = 1) -> int:
+    """Bucketed padded length: explicit ladder if given, else round UP to
+    a multiple of ``round_to``. XLA compiles one program per shape, so
+    un-bucketed padding retraces the jitted train/decode step for every
+    distinct (T, U) a corpus produces — multi-minute compiles each on a
+    cold cache. Rounding caps the shape count while wasting <round_to
+    frames of padding (masked out of every loss/search)."""
+    if buckets:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+    return -(-n // round_to) * round_to
 
 
 def padding(data: Iterable[List[Dict]], *,
@@ -454,8 +460,9 @@ def padding(data: Iterable[List[Dict]], *,
         labels = [list(x["label"]) for x in batch]
         feat_lens = np.array([f.shape[0] for f in feats], np.int32)
         label_lens = np.array([len(l) for l in labels], np.int32)
-        t_max = _bucket(int(feat_lens.max()), feat_buckets)
-        u_max = max(_bucket(int(label_lens.max()), label_buckets), 1)
+        t_max = _bucket(int(feat_lens.max()), feat_buckets, round_to=64)
+        u_max = max(_bucket(int(label_lens.max()), label_buckets,
+                            round_to=8), 1)
         b = len(batch)
         m = feats[0].shape[1]
         feats_pad = np.zeros((b, t_max, m), np.float32)

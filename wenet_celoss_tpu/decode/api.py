@@ -8,6 +8,7 @@ rnnt_beam_attn_rescoring) as batched on-device searches.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -99,8 +100,10 @@ class Decoder:
         cache = self.model.apply(self.params, b,
                                  decoding_chunk_size * left,
                                  method="encoder_init_cache")
-        fwd = jax.jit(lambda xs, c, v: self.model.apply(
-            self.params, xs, c, v, method="encoder_forward_chunk_ctc"))
+        # Cached jit: a fresh jax.jit(lambda ...) here would RETRACE on
+        # every decode call (new function identity each time).
+        fwd = self._m("encoder_forward_chunk_ctc")
+        fwd = partial(fwd, self.params)
 
         def fwd2(xs, c, valid):
             ys, ctc_lp, new_cache = fwd(xs, c, valid)
@@ -235,20 +238,52 @@ class Decoder:
         :meth:`rnnt_greedy_search`."""
         b = feats.shape[0]
         model, params = self.model, self.params
-        bias_hidden = None
-        if context_list is not None:
-            bias_hidden = self._m("bias_hidden")(params, context_list,
-                                                 context_lengths)
+
+        if context_list is None:
+            # The WHOLE search is one jitted program: on dispatch-latency
+            # transports (the axon tunnel) every eager op outside jit
+            # costs a round trip, which used to dominate the decode.
+            key = ("rnnt_greedy_plain", int(n_steps))
+            fn = self._jits.get(key)
+            if fn is None:
+                def run(params, feats, feat_lens):
+                    enc, _, _, mask = model.apply(
+                        params, feats, feat_lens, None,
+                        method="encode_transducer")
+                    enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+                    # Label-synchronous greedy: ~emission-count
+                    # sequential iterations of one whole-T joint matmul
+                    # instead of T·n_steps tiny per-frame steps
+                    # (rnnt_greedy.py).
+                    enc_j = model.apply(params, enc,
+                                        method="joint_enc_proj")
+                    init_state = model.apply(params, feats.shape[0],
+                                             method="predictor_init_state")
+
+                    def predictor_step(tok, state, padding=None):
+                        return model.apply(params, tok, state, padding,
+                                           method="predictor_step")
+
+                    def joint_frames(pred_out):
+                        return model.apply(params, enc_j, pred_out,
+                                           method="joint_frames_argmax")
+
+                    return rnnt_greedy.rnnt_greedy_search_labelsync(
+                        predictor_step, joint_frames, init_state,
+                        int(enc.shape[1]), enc_lens, blank=model.blank,
+                        n_steps=n_steps)
+
+                fn = jax.jit(run)
+                self._jits[key] = fn
+            toks, lens = fn(params, feats, feat_lens)
+            return toks, lens, None
+
+        bias_hidden = self._m("bias_hidden")(params, context_list,
+                                             context_lengths)
         enc, enc_biased, enc_bias, mask = self._m("encode_transducer")(
             params, feats, feat_lens, bias_hidden)
         enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
         predictor_step, joint_step, init_state = self._transducer_fns(b)
-
-        if bias_hidden is None:
-            toks, lens = rnnt_greedy.rnnt_greedy_search(
-                predictor_step, joint_step, init_state, enc, enc_lens,
-                blank=model.blank, n_steps=n_steps)
-            return toks, lens, None
 
         # The "unbiased" gate-off stream is biased with the EMPTY hotword
         # list (sentinel [0] only) — reference `greedy_search.py:64-73`.

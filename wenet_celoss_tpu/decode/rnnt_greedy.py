@@ -88,6 +88,87 @@ def rnnt_greedy_search(predictor_step: Callable, joint_step: Callable,
     return buf, cnt
 
 
+def rnnt_greedy_search_labelsync(predictor_step: Callable,
+                                 joint_frames: Callable, init_state,
+                                 t_max: int, encoder_lens,
+                                 blank: int = 0, n_steps: int = 4,
+                                 u_max: int = 0):
+    """Label-synchronous greedy decode — semantically IDENTICAL to
+    :func:`rnnt_greedy_search`, restructured for the TPU.
+
+    The frame-synchronous scan runs T·n_steps sequential iterations of
+    tiny per-frame matmuls (the device sits idle between them). But the
+    predictor state only changes on EMISSION: between emissions the joint
+    argmax of every remaining frame is computable in parallel. So iterate
+    per LABEL: one `joint_frames` evaluation scores ALL frames against
+    the current predictor state in a single large MXU matmul, each row
+    jumps straight to its first non-blank frame, emits, and steps its
+    predictor. Sequential iterations collapse from T·n_steps (508 at the
+    flagship point) to max-emissions+1 (≈ label count, ~35) — ~24× fewer
+    dispatches, each MXU-shaped.
+
+    Args:
+      joint_frames: (pred_out [B, P]) -> argmax token ids [B, T] of the
+        joint of EVERY encoder frame against this predictor state (built
+        from a pre-projected enc_j so only the pred half recomputes).
+      t_max: number of encoder frames (static).
+    Returns: (tokens [B, U_cap], lens [B]) — same contract as
+      rnnt_greedy_search.
+    """
+    b = encoder_lens.shape[0]
+    if u_max <= 0:
+        u_max = n_steps * t_max
+    pred0, state0 = predictor_step(jnp.full((b,), blank, jnp.int32),
+                                   init_state, jnp.zeros((b,), jnp.int32))
+    buf0 = jnp.zeros((b, u_max), jnp.int32)
+    cnt0 = jnp.zeros((b,), jnp.int32)
+    t_ptr0 = jnp.zeros((b,), jnp.int32)    # next frame to (re)consider
+    k0 = jnp.zeros((b,), jnp.int32)        # emissions already at t_ptr
+    done0 = encoder_lens <= 0
+    fidx = jnp.arange(t_max)[None, :]
+
+    def cond(c):
+        it, done = c[0], c[-1]
+        return jnp.any(~done) & (it <= u_max)
+
+    def body(c):
+        it, t_ptr, k, pred_out, state, buf, cnt, done = c
+        toks_all = joint_frames(pred_out)                    # [B, T]
+        elig = (fidx >= t_ptr[:, None]) & \
+            (fidx < encoder_lens[:, None]) & (toks_all != blank)
+        has = jnp.any(elig, axis=1)
+        do = has & ~done & (cnt < u_max)
+        f = jnp.argmax(elig, axis=1)                         # first hit
+        tok = jnp.take_along_axis(toks_all, f[:, None], axis=1)[:, 0]
+        tok = jnp.where(do, tok, blank)
+
+        buf = jnp.where(
+            jax.nn.one_hot(jnp.minimum(cnt, u_max - 1), u_max,
+                           dtype=bool) & do[:, None],
+            tok[:, None], buf)
+        cnt = cnt + do.astype(jnp.int32)
+
+        # Per-frame emission budget (reference: at most n_steps tokens
+        # per frame, then advance): landing on the same frame increments
+        # k; a fresh frame restarts it at 1; hitting n_steps moves past.
+        k_new = jnp.where(f == t_ptr, k + 1, 1)
+        exhaust = k_new >= n_steps
+        t_ptr = jnp.where(do, jnp.where(exhaust, f + 1, f), t_ptr)
+        k = jnp.where(do, jnp.where(exhaust, 0, k_new), k)
+        done = done | ~do
+
+        new_pred, new_state = predictor_step(tok, state,
+                                             (~do).astype(jnp.int32))
+        keep = do[:, None].astype(pred_out.dtype)
+        pred_out = new_pred * keep + pred_out * (1 - keep)
+        return it + 1, t_ptr, k, pred_out, new_state, buf, cnt, done
+
+    _, _, _, _, _, buf, cnt, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), t_ptr0, k0, pred0, state0,
+                     buf0, cnt0, done0))
+    return buf, cnt
+
+
 def rnnt_greedy_chunk(predictor_step: Callable, joint_step: Callable,
                       carry, encoder_chunk, blank: int = 0,
                       n_steps: int = 4):

@@ -29,20 +29,6 @@ import jax.numpy as jnp
 NEG_INF = -1.0e9
 
 
-def _use_attn_pallas() -> bool:
-    """Gate for the fused flash-style attention kernel
-    (ops/attention_pallas.py). DEFAULT OFF at the flagship scale: at
-    T'=127 / dk=64 the per-batch grid of small head matmuls measured
-    SLOWER than XLA's batched einsums (bench 5088 vs 7379 audio-s/s) —
-    the [B,H,T,T] HBM traffic it saves only dominates at longer context.
-    Set ATTN_PALLAS=1 for long-utterance configs."""
-    import os
-
-    import jax
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("ATTN_PALLAS", "0") == "1")
-
-
 class MultiHeadedAttention(nn.Module):
     n_head: int
     n_feat: int
@@ -170,43 +156,13 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
     def __call__(self, query, key, value, mask=None, pos_emb=None, *,
                  deterministic: bool = True):
+        # NOTE: a fused flash-style rel-pos Pallas kernel was built and
+        # measured here; at the flagship operating point (T'=127, dk=64)
+        # there is nothing to tile along T and XLA's batched einsums win
+        # (7496 vs 6941 audio-s/s), so the kernel was removed (r3; see
+        # ROADMAP "attention kernel decision"). Long-context flash would
+        # be a different, T-tiled kernel.
         q, k, v = self.qkv(query, key, value)
-        # Fused flash-style kernel (TPU, full-context self-attention with
-        # the encoder's precomputed additive mask): scores/attn tiles live
-        # only in VMEM, dropout from the on-core PRNG
-        # (ops/attention_pallas.py).
-        if (not self.is_initializing() and mask is not None
-                and mask.dtype != jnp.bool_ and pos_emb is not None
-                and pos_emb.shape[0] == 1 and _use_attn_pallas()):
-            import jax
-
-            from wenet_celoss_tpu.ops.attention_pallas import \
-                rel_attention_fused
-            b, h, t, dk = q.shape
-            p = self.linear_pos(pos_emb)
-            p = p.reshape(t, h, dk).transpose(1, 0, 2)      # [H, T, dk]
-            rate = 0.0 if deterministic else self.dropout_rate
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, 2**31 - 1,
-                    dtype=jnp.int32)
-            else:
-                seed = jnp.zeros((), jnp.int32)
-            tp = -(-t // 128) * 128
-            if tp != t:
-                padqkv = ((0, 0), (0, 0), (0, tp - t), (0, 0))
-                q2, k2, v2 = (jnp.pad(x, padqkv) for x in (q, k, v))
-                p2 = jnp.pad(p, ((0, 0), (0, tp - t), (0, 0)))
-                bias2 = jnp.pad(mask, ((0, 0), (0, tp - t), (0, 0)))
-                bias2 = jnp.pad(bias2, ((0, 0), (0, 0), (0, tp - t)),
-                                constant_values=NEG_INF)
-            else:
-                q2, k2, v2, p2, bias2 = q, k, v, p, mask
-            out = rel_attention_fused(q2, k2, v2, p2, self.pos_bias_u,
-                                      self.pos_bias_v, bias2, seed, rate)
-            out = out[:, :, :t]
-            return self.linear_out(
-                out.transpose(0, 2, 1, 3).reshape(b, t, self.n_feat))
         return self._rel_attend(q, k, v, pos_emb, mask, deterministic)
 
     def forward_with_cache(self, query, key, value, cache_kv, cache_len,

@@ -86,3 +86,16 @@ class TransducerJoint(nn.Module):
             enc_t = self.enc_ffn(enc_t)
             pred_u = self.pred_ffn(pred_u)
         return self._combine(enc_t, pred_u)
+
+    def project_enc(self, enc_out: jnp.ndarray):
+        """[B, T, E] → pre-joined [B, T, J]; hoisted out of the
+        label-synchronous greedy loop (computed once per utterance)."""
+        return self.enc_ffn(enc_out) if self.prejoin_linear else enc_out
+
+    def frames(self, enc_j: jnp.ndarray, pred_u: jnp.ndarray):
+        """enc_j [B, T, J] (pre-projected), pred_u [B, P] → logits
+        [B, T, V]: one predictor state joined against EVERY frame — the
+        big MXU-friendly matmul at the heart of label-synchronous greedy
+        decoding."""
+        p = self.pred_ffn(pred_u) if self.prejoin_linear else pred_u
+        return self._combine(enc_j, p[:, None, :])

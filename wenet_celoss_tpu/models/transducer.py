@@ -235,6 +235,15 @@ class Transducer(ASRModel):
         """[B, E] x [B, P] → joint logits [B, V]."""
         return self.joint.single(enc_t, pred_u)
 
+    def joint_enc_proj(self, encoder_out):
+        """[B, T, E] → pre-joined [B, T, J] (label-sync greedy hoist)."""
+        return self.joint.project_enc(encoder_out)
+
+    def joint_frames_argmax(self, enc_j, pred_u):
+        """enc_j [B, T, J] × pred [B, P] → argmax token ids [B, T]."""
+        return jnp.argmax(self.joint.frames(enc_j, pred_u),
+                          axis=-1).astype(jnp.int32)
+
     def predictor_forward(self, ys_in):
         """Whole-sequence predictor forward (blank-prepended labels)."""
         return self.predictor(ys_in, deterministic=True)
