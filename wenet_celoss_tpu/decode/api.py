@@ -278,35 +278,35 @@ class Decoder:
             toks, lens = fn(params, feats, feat_lens)
             return toks, lens, None
 
-        bias_hidden = self._m("bias_hidden")(params, context_list,
-                                             context_lengths)
-        enc, enc_biased, enc_bias, mask = self._m("encode_transducer")(
-            params, feats, feat_lens, bias_hidden)
-        enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
-        predictor_step, joint_step, init_state = self._transducer_fns(b)
-
-        # The "unbiased" gate-off stream is biased with the EMPTY hotword
-        # list (sentinel [0] only) — reference `greedy_search.py:64-73`.
-        ctx_empty = jnp.zeros((1, 1), jnp.int32)
-        ctx_empty_lens = jnp.ones((1,), jnp.int32)
-        bias_hidden_empty = self._m("bias_hidden")(
-            params, ctx_empty, ctx_empty_lens)
-        _, enc_empty_biased, _, _ = self._m("encode_transducer")(
-            params, feats, feat_lens, bias_hidden_empty)
-
-        def predictor_bias_step(pred_out):
-            return model.apply(params, bias_hidden, pred_out,
-                               method="predictor_bias_step")
-
-        def predictor_bias_step_empty(pred_out):
-            return model.apply(params, bias_hidden_empty, pred_out,
-                               method="predictor_bias_step")
-
-        def gate_step(enc_bias_t, pred_bias_u):
-            return model.apply(params, enc_bias_t, pred_bias_u,
-                               method="hw_gate_step")
-
         if context_filter_state == "exact":
+            bias_hidden = self._m("bias_hidden")(params, context_list,
+                                                 context_lengths)
+            enc, enc_biased, enc_bias, mask = self._m("encode_transducer")(
+                params, feats, feat_lens, bias_hidden)
+            enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+
+            # The "unbiased" gate-off stream is biased with the EMPTY
+            # hotword list (sentinel [0] only) — reference
+            # `greedy_search.py:64-73`.
+            ctx_empty = jnp.zeros((1, 1), jnp.int32)
+            ctx_empty_lens = jnp.ones((1,), jnp.int32)
+            bias_hidden_empty = self._m("bias_hidden")(
+                params, ctx_empty, ctx_empty_lens)
+            _, enc_empty_biased, _, _ = self._m("encode_transducer")(
+                params, feats, feat_lens, bias_hidden_empty)
+
+            def predictor_bias_step(pred_out):
+                return model.apply(params, bias_hidden, pred_out,
+                                   method="predictor_bias_step")
+
+            def predictor_bias_step_empty(pred_out):
+                return model.apply(params, bias_hidden_empty, pred_out,
+                                   method="predictor_bias_step")
+
+            def gate_step(enc_bias_t, pred_bias_u):
+                return model.apply(params, enc_bias_t, pred_bias_u,
+                                   method="hw_gate_step")
+
             # Reference-exact backtracking repair loop (host-driven,
             # per-utterance; greedy_search.py:110-137 semantics incl.
             # crossed stream selection). Ragged host lists, not arrays.
@@ -332,12 +332,62 @@ class Decoder:
             self.last_gates = (gates_arr, np.asarray(glens, np.int32))
             return all_hyps, None, None
 
-        toks, lens, gates = rnnt_greedy.rnnt_gated_greedy_search(
-            predictor_step, predictor_bias_step, joint_step, gate_step,
-            init_state, enc_empty_biased, enc_biased, enc_bias, enc_lens,
-            blank=model.blank, n_steps=n_steps,
-            gate_on=(context_filter_state == "on"),
-            predictor_bias_step_empty=predictor_bias_step_empty)
+        # Whole-program jit (same rationale as the plain path: eager ops
+        # cost a dispatch round trip each on the axon tunnel).
+        key = ("rnnt_gated", int(n_steps), context_filter_state == "on")
+        fn = self._jits.get(key)
+        if fn is None:
+            gate_on = context_filter_state == "on"
+
+            def run(params, feats, feat_lens, context_list,
+                    context_lengths):
+                bias_h = model.apply(params, context_list,
+                                     context_lengths,
+                                     method="bias_hidden")
+                _, e_biased, e_bias, mask = model.apply(
+                    params, feats, feat_lens, bias_h,
+                    method="encode_transducer")
+                e_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+                ctx_e = jnp.zeros((1, 1), jnp.int32)
+                ctx_e_l = jnp.ones((1,), jnp.int32)
+                bias_h_e = model.apply(params, ctx_e, ctx_e_l,
+                                       method="bias_hidden")
+                _, e_empty, _, _ = model.apply(
+                    params, feats, feat_lens, bias_h_e,
+                    method="encode_transducer")
+                init_st = model.apply(params, feats.shape[0],
+                                      method="predictor_init_state")
+
+                def p_step(tok, state, padding=None):
+                    return model.apply(params, tok, state, padding,
+                                       method="predictor_step")
+
+                def j_step(enc_t, pred_u):
+                    return model.apply(params, enc_t, pred_u,
+                                       method="joint_step")
+
+                def pb_step(pred_out):
+                    return model.apply(params, bias_h, pred_out,
+                                       method="predictor_bias_step")
+
+                def pb_step_empty(pred_out):
+                    return model.apply(params, bias_h_e, pred_out,
+                                       method="predictor_bias_step")
+
+                def g_step(enc_bias_t, pred_bias_u):
+                    return model.apply(params, enc_bias_t, pred_bias_u,
+                                       method="hw_gate_step")
+
+                return rnnt_greedy.rnnt_gated_greedy_search(
+                    p_step, pb_step, j_step, g_step, init_st, e_empty,
+                    e_biased, e_bias, e_lens, blank=model.blank,
+                    n_steps=n_steps, gate_on=gate_on,
+                    predictor_bias_step_empty=pb_step_empty)
+
+            fn = jax.jit(run)
+            self._jits[key] = fn
+        toks, lens, gates = fn(params, feats, feat_lens, context_list,
+                               context_lengths)
         return toks, lens, gates
 
     def rnnt_greedy_search(self, feats, feat_lens, n_steps: int = 4,
