@@ -48,7 +48,7 @@ if [ "${smoke}" = true ]; then
   # Shape-bucketed epochs run in ~2 s once the few bucket programs are
   # compiled (first epoch pays them; the persistent cache keeps them
   # across runs), so a real overfit budget is cheap.
-  num_epochs=40
+  num_epochs=28
   # Tiny models decode faster on the host CPU than they can pay the
   # TPU-tunnel's cold-compile latency; the persistent compilation cache
   # (utils/platform.enable_compilation_cache) makes repeat smokes cheap.
