@@ -159,15 +159,26 @@ class Decoder:
         enc, mask, _ = self._encode(feats, feat_lens, **kw)
         if max_len <= 0:
             max_len = int(enc.shape[1])
+        model = self.model
 
-        def one_step(memory, memory_mask, buf, pos):
-            return self.model.apply(self.params, memory, memory_mask, buf,
-                                    pos, method="decoder_one_step")
+        # Whole-search jit (axon: eager glue costs a dispatch round trip
+        # per op; the scan body itself was already compiled).
+        key = ("attention_beam", int(beam), int(max_len))
+        fn = self._jits.get(key)
+        if fn is None:
+            def run(params, enc, mask):
+                def one_step(memory, memory_mask, buf, pos):
+                    return model.apply(params, memory, memory_mask, buf,
+                                       pos, method="decoder_one_step")
 
-        hyps, lens, _ = attention_beam.attention_beam_search(
-            one_step, enc, mask, self.model.sos, self.model.eos, beam,
-            max_len)
-        return hyps, lens
+                hyps, lens, _ = attention_beam.attention_beam_search(
+                    one_step, enc, mask, model.sos, model.eos, beam,
+                    max_len)
+                return hyps, lens
+
+            fn = jax.jit(run)
+            self._jits[key] = fn
+        return fn(self.params, enc, mask)
 
     def attention(self, feats, feat_lens, beam: int = 10,
                   max_len: int = 0, **kw) -> List[List[int]]:
@@ -408,39 +419,66 @@ class Decoder:
                          ctc_weight: float = 0.0,
                          transducer_weight: float = 1.0,
                          context_list=None, context_lengths=None):
-        b = feats.shape[0]
-        model, params = self.model, self.params
-        bias_hidden = None
-        if context_list is not None:
-            bias_hidden = self._m("bias_hidden")(params, context_list,
-                                                 context_lengths)
-        enc, enc_biased, _, mask = self._m("encode_transducer")(
-            params, feats, feat_lens, bias_hidden)
-        enc_use = enc_biased if bias_hidden is not None else enc
-        enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
-        predictor_step, joint_step, _ = self._transducer_fns(b * beam)
-        init_state = model.apply(params, b * beam,
-                                 method="predictor_init_state")
-        ctc_lp = None
-        if ctc_weight > 0.0:
-            ctc_lp = self._m("ctc_logprobs")(params, enc_use)
+        model = self.model
+        # Whole-search jit (see rnnt_greedy_arrays for rationale).
+        key = ("rnnt_beam", int(beam), float(ctc_weight),
+               float(transducer_weight), context_list is not None)
+        fn = self._jits.get(key)
+        if fn is None:
+            use_bias = context_list is not None
+            state_gather = self._state_gather()
 
-        if bias_hidden is not None:
-            def joint_biased(enc_t, pred_u):
-                pred_b, _ = model.apply(params, bias_hidden, pred_u,
-                                        method="predictor_bias_step")
-                return model.apply(params, enc_t, pred_b,
-                                   method="joint_step")
-            joint_fn = joint_biased
-        else:
-            joint_fn = joint_step
+            def run(params, feats, feat_lens, context_list,
+                    context_lengths):
+                b = feats.shape[0]
+                bias_hidden = None
+                if use_bias:
+                    bias_hidden = model.apply(params, context_list,
+                                              context_lengths,
+                                              method="bias_hidden")
+                enc, enc_biased, _, mask = model.apply(
+                    params, feats, feat_lens, bias_hidden,
+                    method="encode_transducer")
+                enc_use = enc_biased if use_bias else enc
+                enc_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+                init_state = model.apply(params, b * beam,
+                                         method="predictor_init_state")
 
-        res = rnnt_beam.rnnt_prefix_beam_search(
-            predictor_step, joint_fn, init_state, enc_use, enc_lens,
-            beam=beam, topk=min(beam, 10), ctc_log_probs=ctc_lp,
-            transducer_weight=transducer_weight, ctc_weight=ctc_weight,
-            blank=model.blank, state_gather=self._state_gather())
-        return res, enc_use, mask
+                def predictor_step(tok, state, padding=None):
+                    return model.apply(params, tok, state, padding,
+                                       method="predictor_step")
+
+                def joint_step(enc_t, pred_u):
+                    return model.apply(params, enc_t, pred_u,
+                                       method="joint_step")
+
+                if use_bias:
+                    def joint_fn(enc_t, pred_u):
+                        pred_b, _ = model.apply(
+                            params, bias_hidden, pred_u,
+                            method="predictor_bias_step")
+                        return model.apply(params, enc_t, pred_b,
+                                           method="joint_step")
+                else:
+                    joint_fn = joint_step
+
+                ctc_lp = None
+                if ctc_weight > 0.0:
+                    ctc_lp = model.apply(params, enc_use,
+                                         method="ctc_logprobs")
+                res = rnnt_beam.rnnt_prefix_beam_search(
+                    predictor_step, joint_fn, init_state, enc_use,
+                    enc_lens, beam=beam, topk=min(beam, 10),
+                    ctc_log_probs=ctc_lp,
+                    transducer_weight=transducer_weight,
+                    ctc_weight=ctc_weight, blank=model.blank,
+                    state_gather=state_gather)
+                return res, enc_use, mask
+
+            fn = jax.jit(run)
+            self._jits[key] = fn
+        return fn(self.params, feats, feat_lens, context_list,
+                  context_lengths)
 
     def _state_gather(self):
         pred_type = type(self.model.predictor).__name__
