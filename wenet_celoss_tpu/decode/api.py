@@ -90,33 +90,53 @@ class Decoder:
         num_decoding_left_chunks < 0 keeps a generous fixed cache of 16
         chunks (fixed shapes require a bound; the reference grows the cache
         unboundedly)."""
-        from wenet_celoss_tpu.decode.streaming import forward_chunk_by_chunk
+        from wenet_celoss_tpu.decode.streaming import \
+            forward_chunk_by_chunk_scan
         from wenet_celoss_tpu.models.subsampling import subsampled_length
         enc = self.model.encoder
+        model = self.model
         sub, rctx = enc.subsampling_rate, enc.right_context
         left = num_decoding_left_chunks if num_decoding_left_chunks > 0 \
             else 16
-        b = feats.shape[0]
-        cache = self.model.apply(self.params, b,
-                                 decoding_chunk_size * left,
-                                 method="encoder_init_cache")
-        # Cached jit: a fresh jax.jit(lambda ...) here would RETRACE on
-        # every decode call (new function identity each time).
-        fwd = self._m("encoder_forward_chunk_ctc")
-        fwd = partial(fwd, self.params)
+        # ONE jitted program: the chunk sweep is a lax.scan, not a python
+        # loop of per-chunk dispatches (a round trip per chunk on the
+        # axon transport).
+        key = ("encode_ctc_streaming", int(decoding_chunk_size), int(left))
+        fn = self._jits.get(key)
+        if fn is None:
+            def run(params, feats, feat_lens):
+                b = feats.shape[0]
+                cache = model.apply(params, b,
+                                    decoding_chunk_size * left,
+                                    method="encoder_init_cache")
+                # The scan carry must be dtype-stable: a bf16 encoder
+                # writes bf16 caches, so the fp32-initialized cache must
+                # start in the compute dtype (float leaves only).
+                cdtype = getattr(enc, "compute_dtype", None)
+                if cdtype is not None:
+                    cache = jax.tree.map(
+                        lambda x: x.astype(cdtype)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                        cache)
 
-        def fwd2(xs, c, valid):
-            ys, ctc_lp, new_cache = fwd(xs, c, valid)
-            return (ys, ctc_lp), new_cache
+                def fwd2(xs, c, valid):
+                    ys, ctc_lp, new_cache = model.apply(
+                        params, xs, c, valid,
+                        method="encoder_forward_chunk_ctc")
+                    return (ys, ctc_lp), new_cache
 
-        total_out = subsampled_length(enc.input_layer, feat_lens)
-        (ys, ctc_lp), _ = forward_chunk_by_chunk(
-            fwd2, cache, feats, sub, rctx, decoding_chunk_size,
-            out_lens=total_out)
-        t_out = ys.shape[1]
-        out_lens = jnp.minimum(total_out, t_out)
-        mask = jnp.arange(t_out)[None, :] < out_lens[:, None]
-        return ys, mask, ctc_lp
+                total_out = subsampled_length(enc.input_layer, feat_lens)
+                (ys, ctc_lp), _ = forward_chunk_by_chunk_scan(
+                    fwd2, cache, feats, sub, rctx, decoding_chunk_size,
+                    out_lens=total_out)
+                t_out = ys.shape[1]
+                out_lens = jnp.minimum(total_out, t_out)
+                mask = jnp.arange(t_out)[None, :] < out_lens[:, None]
+                return ys, mask, ctc_lp
+
+            fn = jax.jit(run)
+            self._jits[key] = fn
+        return fn(self.params, feats, feat_lens)
 
     def _encode(self, feats, feat_lens, simulate_streaming=False,
                 decoding_chunk_size=-1, num_decoding_left_chunks=-1):
