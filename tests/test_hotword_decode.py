@@ -208,3 +208,64 @@ def test_exact_backtracking_golden_trace():
         enc_bias=enc_bias, encoder_len=3, blank=0, n_steps=2)
     assert hyps == [1, 2, 1], (hyps, gates)
     assert gates == [1, 1, 1, 1], (hyps, gates)
+
+
+def test_gated_labelsync_matches_scan_search():
+    """The label-synchronous gated greedy (production path) must produce
+    identical tokens AND gate records to the frame-synchronous scan
+    search, for gate on and off."""
+    import jax
+    import jax.numpy as jnp
+    from wenet_celoss_tpu.decode import rnnt_greedy
+    from wenet_celoss_tpu.decode.api import Decoder
+    from wenet_celoss_tpu.models.factory import init_model
+
+    cfg = _configs()
+    batch = _data()
+    model = init_model(cfg)
+    args = (batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"], batch["context_list"],
+            batch["context_lengths"], batch["hw_labels"])
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    dec = Decoder(model, variables)
+    feats, lens = batch["feats"], batch["feat_lengths"]
+    ctx, ctx_l = batch["context_list"], batch["context_lengths"]
+
+    for state in ("on", "off"):
+        toks, tlens, gates = dec.rnnt_greedy_arrays(
+            feats, lens, n_steps=3, context_list=ctx,
+            context_lengths=ctx_l, context_filter_state=state)
+
+        # Reference: the frame-synchronous scan with eager closures.
+        params = variables
+        bias_h = model.apply(params, ctx, ctx_l, method="bias_hidden")
+        _, e_biased, e_bias, mask = model.apply(
+            params, feats, lens, bias_h, method="encode_transducer")
+        e_lens = jnp.sum(mask.astype(jnp.int32), axis=1)
+        ctx_e = jnp.zeros((1, 1), jnp.int32)
+        ctx_e_l = jnp.ones((1,), jnp.int32)
+        bias_h_e = model.apply(params, ctx_e, ctx_e_l,
+                               method="bias_hidden")
+        _, e_empty, _, _ = model.apply(params, feats, lens, bias_h_e,
+                                       method="encode_transducer")
+        init_st = model.apply(params, feats.shape[0],
+                              method="predictor_init_state")
+        p_step = lambda tok, st, pad=None: model.apply(
+            params, tok, st, pad, method="predictor_step")
+        j_step = lambda e, p: model.apply(params, e, p,
+                                          method="joint_step")
+        pb = lambda p: model.apply(params, bias_h, p,
+                                   method="predictor_bias_step")
+        pb_e = lambda p: model.apply(params, bias_h_e, p,
+                                     method="predictor_bias_step")
+        g = lambda eb, pbb: model.apply(params, eb, pbb,
+                                        method="hw_gate_step")
+        r_toks, r_lens, r_gates = rnnt_greedy.rnnt_gated_greedy_search(
+            p_step, pb, j_step, g, init_st, e_empty, e_biased, e_bias,
+            e_lens, blank=model.blank, n_steps=3,
+            gate_on=(state == "on"), predictor_bias_step_empty=pb_e)
+
+        assert rnnt_greedy.greedy_to_lists(toks, tlens) == \
+            rnnt_greedy.greedy_to_lists(r_toks, r_lens), state
+        assert rnnt_greedy.greedy_to_lists(gates, tlens) == \
+            rnnt_greedy.greedy_to_lists(r_gates, r_lens), state

@@ -389,13 +389,21 @@ class Decoder:
                 init_st = model.apply(params, feats.shape[0],
                                       method="predictor_init_state")
 
+                # Label-synchronous gated search: the gate map and the
+                # gate-selected encoder stream are precomputed; per
+                # iteration only the two predictor-stream joints run.
+                gate_all = model.apply(params, e_bias,
+                                       method="hw_gate_frames")
+                use_bias_all = (gate_all > 0) if gate_on else \
+                    jnp.ones_like(gate_all, dtype=bool)
+                e_sel = jnp.where(use_bias_all[..., None], e_biased,
+                                  e_empty)
+                e_j_sel = model.apply(params, e_sel,
+                                      method="joint_enc_proj")
+
                 def p_step(tok, state, padding=None):
                     return model.apply(params, tok, state, padding,
                                        method="predictor_step")
-
-                def j_step(enc_t, pred_u):
-                    return model.apply(params, enc_t, pred_u,
-                                       method="joint_step")
 
                 def pb_step(pred_out):
                     return model.apply(params, bias_h, pred_out,
@@ -405,14 +413,18 @@ class Decoder:
                     return model.apply(params, bias_h_e, pred_out,
                                        method="predictor_bias_step")
 
-                def g_step(enc_bias_t, pred_bias_u):
-                    return model.apply(params, enc_bias_t, pred_bias_u,
-                                       method="hw_gate_step")
+                def joint_frames_sel(pred_biased, pred_empty, use_bias):
+                    tb = model.apply(params, e_j_sel, pred_biased,
+                                     method="joint_frames_argmax")
+                    te = model.apply(params, e_j_sel, pred_empty,
+                                     method="joint_frames_argmax")
+                    return jnp.where(use_bias, tb, te)
 
-                return rnnt_greedy.rnnt_gated_greedy_search(
-                    p_step, pb_step, j_step, g_step, init_st, e_empty,
-                    e_biased, e_bias, e_lens, blank=model.blank,
-                    n_steps=n_steps, gate_on=gate_on,
+                return rnnt_greedy.rnnt_gated_greedy_search_labelsync(
+                    p_step, pb_step, joint_frames_sel,
+                    lambda: gate_all, init_st, int(e_biased.shape[1]),
+                    e_lens, blank=model.blank, n_steps=n_steps,
+                    gate_on=gate_on,
                     predictor_bias_step_empty=pb_step_empty)
 
             fn = jax.jit(run)

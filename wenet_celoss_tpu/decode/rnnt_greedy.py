@@ -422,3 +422,94 @@ def rnnt_gated_greedy_search_exact(predictor_step: Callable,
             t += 1
             per_frame_noblk = 0
     return hyps, result
+
+
+def rnnt_gated_greedy_search_labelsync(
+        predictor_step: Callable, predictor_bias_step: Callable,
+        joint_frames_sel: Callable, gate_frames: Callable, init_state,
+        t_max: int, encoder_lens, blank: int = 0, n_steps: int = 4,
+        u_max: int = 0, gate_on: bool = True,
+        predictor_bias_step_empty: Callable = None):
+    """Label-synchronous variant of :func:`rnnt_gated_greedy_search` —
+    same emissions, ~emission-count sequential iterations.
+
+    Decode-time hotword gating is PREDICTOR-INDEPENDENT: the per-step
+    gate attends a singleton key (the current frame's enc-bias branch,
+    `hw_gate_step`), and softmax over one key weights it 1.0 regardless
+    of the query — so the whole [B, T] gate map is computable up front
+    (``gate_frames()``), the encoder stream can be pre-selected per
+    frame, and only the per-frame PREDICTOR stream choice remains inside
+    the loop (two ``joint_frames_sel`` evaluations, biased + empty,
+    selected by the gate map). Equivalence to the frame-synchronous scan
+    is tested in tests/test_decode.py.
+
+    Args:
+      joint_frames_sel: (pred_biased [B, P], pred_empty [B, P],
+        use_bias [B, T] bool) -> argmax token ids [B, T] of the joint of
+        every (gate-selected) encoder frame against the gate-selected
+        predictor stream.
+      gate_frames: () -> gate ids [B, T] (argmax of the hw gate per
+        frame).
+    Returns: (tokens [B, U_cap], lens [B], gates [B, U_cap]).
+    """
+    if predictor_bias_step_empty is None:
+        predictor_bias_step_empty = lambda p: (p, p)
+    b = encoder_lens.shape[0]
+    if u_max <= 0:
+        u_max = n_steps * t_max
+    gate_all = gate_frames()                                  # [B, T]
+    use_bias_all = (gate_all > 0) if gate_on else \
+        jnp.ones_like(gate_all, dtype=bool)
+    pred0, state0 = predictor_step(jnp.full((b,), blank, jnp.int32),
+                                   init_state, jnp.zeros((b,), jnp.int32))
+    buf0 = jnp.zeros((b, u_max), jnp.int32)
+    gate_buf0 = jnp.zeros((b, u_max), jnp.int32)
+    cnt0 = jnp.zeros((b,), jnp.int32)
+    t_ptr0 = jnp.zeros((b,), jnp.int32)
+    k0 = jnp.zeros((b,), jnp.int32)
+    done0 = encoder_lens <= 0
+    fidx = jnp.arange(t_max)[None, :]
+
+    def cond(c):
+        it, done = c[0], c[-1]
+        return jnp.any(~done) & (it <= u_max)
+
+    def body(c):
+        it, t_ptr, k, pred_out, state, buf, gate_buf, cnt, done = c
+        pred_biased, _ = predictor_bias_step(pred_out)
+        pred_empty, _ = predictor_bias_step_empty(pred_out)
+        toks_all = joint_frames_sel(pred_biased, pred_empty,
+                                    use_bias_all)             # [B, T]
+        elig = (fidx >= t_ptr[:, None]) & \
+            (fidx < encoder_lens[:, None]) & (toks_all != blank)
+        has = jnp.any(elig, axis=1)
+        do = has & ~done & (cnt < u_max)
+        f = jnp.argmax(elig, axis=1)
+        tok = jnp.take_along_axis(toks_all, f[:, None], axis=1)[:, 0]
+        tok = jnp.where(do, tok, blank)
+        gate = jnp.take_along_axis(gate_all, f[:, None], axis=1)[:, 0]
+
+        onehot = jax.nn.one_hot(jnp.minimum(cnt, u_max - 1), u_max,
+                                dtype=bool) & do[:, None]
+        buf = jnp.where(onehot, tok[:, None], buf)
+        gate_buf = jnp.where(onehot, gate[:, None], gate_buf)
+        cnt = cnt + do.astype(jnp.int32)
+
+        k_new = jnp.where(f == t_ptr, k + 1, 1)
+        exhaust = k_new >= n_steps
+        t_ptr = jnp.where(do, jnp.where(exhaust, f + 1, f), t_ptr)
+        k = jnp.where(do, jnp.where(exhaust, 0, k_new), k)
+        done = done | ~do
+
+        new_pred, new_state = predictor_step(tok, state,
+                                             (~do).astype(jnp.int32))
+        keep = do[:, None].astype(pred_out.dtype)
+        pred_out = new_pred * keep + pred_out * (1 - keep)
+        return (it + 1, t_ptr, k, pred_out, new_state, buf, gate_buf,
+                cnt, done)
+
+    out = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), t_ptr0, k0, pred0, state0,
+                     buf0, gate_buf0, cnt0, done0))
+    _, _, _, _, _, buf, gate_buf, cnt, _ = out
+    return buf, cnt, gate_buf

@@ -235,6 +235,20 @@ class Transducer(ASRModel):
         """[B, E] x [B, P] → joint logits [B, V]."""
         return self.joint.single(enc_t, pred_u)
 
+    def hw_gate_frames(self, enc_bias):
+        """Per-frame hotword-gate ids [B, T] from the encoder bias
+        branch [B, T, E]. Decode-time gating is predictor-independent:
+        `hw_gate_step` attends a SINGLETON key (the frame's enc-bias),
+        and softmax over one key weights it 1.0 whatever the query — so
+        the whole gate map is computable up front (label-synchronous
+        gated greedy, decode/rnnt_greedy.py). The query argument is a
+        dummy for exactly that reason."""
+        b, t, e = enc_bias.shape
+        flat = enc_bias.reshape(b * t, 1, e)
+        hw = self.context_bias.forward_hw_pred_both(
+            flat, jnp.zeros_like(flat))
+        return jnp.argmax(hw.reshape(b, t, -1), axis=-1).astype(jnp.int32)
+
     def joint_enc_proj(self, encoder_out):
         """[B, T, E] → pre-joined [B, T, J] (label-sync greedy hoist)."""
         return self.joint.project_enc(encoder_out)
