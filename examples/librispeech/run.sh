@@ -166,17 +166,22 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
     --dst_model ${dir}/avg_${average_num}.ckpt \
     --src_path ${dir} --num ${average_num} --val_best
   for test_set in ${test_sets}; do
+    # ONE recognize process decodes every mode (comma list): the dataset
+    # pass and the encoder compiles are shared instead of paid per mode.
+    multi=$(echo ${decode_modes} | tr ' ' ',')
+    python -m wenet_celoss_tpu.bin.recognize \
+      --config ${dir}/train.yaml \
+      --data_type raw \
+      --test_data data/${test_set}/data.list \
+      --checkpoint ${dir}/avg_${average_num}.ckpt \
+      --symbol_table ${dict} \
+      --bpe_model ${bpe_model} \
+      --mode "${multi}" \
+      --result_file ${dir}/decode_${test_set}
     for mode in ${decode_modes}; do
       out=${dir}/${mode}_${test_set}
-      python -m wenet_celoss_tpu.bin.recognize \
-        --config ${dir}/train.yaml \
-        --data_type raw \
-        --test_data data/${test_set}/data.list \
-        --checkpoint ${dir}/avg_${average_num}.ckpt \
-        --symbol_table ${dict} \
-        --bpe_model ${bpe_model} \
-        --mode ${mode} \
-        --result_file ${out}/text
+      mkdir -p ${out}
+      mv ${dir}/decode_${test_set}.${mode} ${out}/text
       python ${tools}/compute_wer.py data/${test_set}/text ${out}/text \
         > ${out}/wer
       tail -1 ${out}/wer

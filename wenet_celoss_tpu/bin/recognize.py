@@ -36,7 +36,11 @@ def get_args():
     parser.add_argument("--result_file", required=True)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--mode", default="attention_rescoring",
-                        choices=MODES)
+                        help="decode mode, or a comma-separated list of "
+                             "modes decoded in ONE process (shared "
+                             "encoder compiles + dataset pass); with a "
+                             "list, per-mode files are written at "
+                             "<result_file>.<mode>")
     parser.add_argument("--beam_size", type=int, default=10)
     parser.add_argument("--decoding_chunk_size", type=int, default=-1)
     parser.add_argument("--num_decoding_left_chunks", type=int, default=-1)
@@ -150,20 +154,86 @@ def main():
         logging.info("sharded decode over %d devices (collective "
                      "hypothesis exchange over the data axis)", mesh.size)
         decoder = ShardedDecoder(model, params, mesh)
-        if args.mode not in ShardedDecoder.SUPPORTED_MODES:
+        _modes = [m.strip() for m in args.mode.split(",") if m.strip()]
+        unsupported = [m for m in _modes
+                       if m not in ShardedDecoder.SUPPORTED_MODES]
+        if unsupported:
             logging.warning(
-                "--sharded has no SPMD path for mode %r; running the "
-                "plain single-program decoder instead", args.mode)
-        elif (args.mode == "rnnt_greedy_search"
+                "--sharded has no SPMD path for mode(s) %r; running the "
+                "plain single-program decoder instead", unsupported)
+        elif ("rnnt_greedy_search" in _modes
                 and args.context_filter_state == "exact"):
             logging.warning(
                 "--sharded: context_filter_state=exact is a host-driven "
                 "per-utterance repair loop; falling back to the plain "
                 "(unsharded) path for it")
 
+    modes = [m.strip() for m in args.mode.split(",") if m.strip()]
+    for m in modes:
+        if m not in MODES:
+            raise SystemExit(f"unknown mode {m!r}; choices: {MODES}")
     os.makedirs(os.path.dirname(args.result_file) or ".", exist_ok=True)
     gate_dists = []
-    with open(args.result_file, "w", encoding="utf8") as fout:
+
+    def decode_batch(mode, feats, feat_lens, ctx, ctx_lens, kw):
+        if mode == "attention":
+            return decoder.attention(feats, feat_lens,
+                                     beam=args.beam_size, **kw)
+        if mode == "ctc_greedy_search":
+            return decoder.ctc_greedy_search(feats, feat_lens, **kw)
+        if mode == "ctc_prefix_beam_search":
+            hyps, _, _, _ = decoder.ctc_prefix_beam_search(
+                feats, feat_lens, beam=args.beam_size, **kw)
+            return [h[0] for h in hyps]
+        if mode == "attention_rescoring":
+            return decoder.attention_rescoring(
+                feats, feat_lens, beam=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                reverse_weight=args.reverse_weight, **kw)
+        if mode == "rnnt_greedy_search":
+            return decoder.rnnt_greedy_search(
+                feats, feat_lens,
+                context_list=(jnp.asarray(ctx) if ctx is not None
+                              else None),
+                context_lengths=(jnp.asarray(ctx_lens)
+                                 if ctx_lens is not None else None),
+                context_filter_state=args.context_filter_state)
+        if mode == "rnnt_beam_search":
+            res, _, _ = decoder.rnnt_beam_search(
+                feats, feat_lens, beam=args.beam_size,
+                ctc_weight=args.search_ctc_weight,
+                transducer_weight=args.transducer_weight,
+                context_list=(jnp.asarray(ctx) if ctx is not None
+                              else None),
+                context_lengths=(jnp.asarray(ctx_lens)
+                                 if ctx_lens is not None else None))
+            return decoder.rnnt_beam_to_lists(res)
+        if mode == "ctc_beam_td_attn_rescoring":
+            return decoder.ctc_beam_td_attn_rescoring(
+                feats, feat_lens, beam=args.beam_size,
+                ctc_weight=args.ctc_weight,
+                transducer_weight=args.transducer_weight,
+                attn_weight=args.attn_weight,
+                reverse_weight=args.reverse_weight, **kw)
+        if mode == "rnnt_beam_attn_rescoring":
+            return decoder.rnnt_beam_attn_rescoring(
+                feats, feat_lens, beam=args.beam_size,
+                attn_weight=args.attn_weight,
+                transducer_weight=args.transducer_weight,
+                search_ctc_weight=args.search_ctc_weight,
+                reverse_weight=args.reverse_weight,
+                context_list=(jnp.asarray(ctx) if ctx is not None
+                              else None),
+                context_lengths=(jnp.asarray(ctx_lens)
+                                 if ctx_lens is not None else None))
+        raise ValueError(mode)
+
+    def out_path(mode):
+        return args.result_file if len(modes) == 1 \
+            else f"{args.result_file}.{mode}"
+
+    fouts = {m: open(out_path(m), "w", encoding="utf8") for m in modes}
+    try:
         for batch in iter(dataset):
             feats = jnp.asarray(batch["feats"])
             feat_lens = jnp.asarray(batch["feat_lengths"])
@@ -187,76 +257,30 @@ def main():
                     decoding_chunk_size=args.decoding_chunk_size,
                     num_decoding_left_chunks=args.num_decoding_left_chunks,
                     simulate_streaming=args.simulate_streaming)
-            if args.mode == "attention":
-                hyps = decoder.attention(feats, feat_lens,
-                                         beam=args.beam_size, **kw)
-            elif args.mode == "ctc_greedy_search":
-                hyps = decoder.ctc_greedy_search(feats, feat_lens, **kw)
-            elif args.mode == "ctc_prefix_beam_search":
-                hyps, _, _, _ = decoder.ctc_prefix_beam_search(
-                    feats, feat_lens, beam=args.beam_size, **kw)
-                hyps = [h[0] for h in hyps]
-            elif args.mode == "attention_rescoring":
-                hyps = decoder.attention_rescoring(
-                    feats, feat_lens, beam=args.beam_size,
-                    ctc_weight=args.ctc_weight,
-                    reverse_weight=args.reverse_weight, **kw)
-            elif args.mode == "rnnt_greedy_search":
-                hyps = decoder.rnnt_greedy_search(
-                    feats, feat_lens,
-                    context_list=(jnp.asarray(ctx) if ctx is not None
-                                  else None),
-                    context_lengths=(jnp.asarray(ctx_lens)
-                                     if ctx_lens is not None else None),
-                    context_filter_state=args.context_filter_state)
-            elif args.mode == "rnnt_beam_search":
-                res, _, _ = decoder.rnnt_beam_search(
-                    feats, feat_lens, beam=args.beam_size,
-                    ctc_weight=args.search_ctc_weight,
-                    transducer_weight=args.transducer_weight,
-                    context_list=(jnp.asarray(ctx) if ctx is not None
-                                  else None),
-                    context_lengths=(jnp.asarray(ctx_lens)
-                                     if ctx_lens is not None else None))
-                hyps = decoder.rnnt_beam_to_lists(res)
-            elif args.mode == "ctc_beam_td_attn_rescoring":
-                hyps = decoder.ctc_beam_td_attn_rescoring(
-                    feats, feat_lens, beam=args.beam_size,
-                    ctc_weight=args.ctc_weight,
-                    transducer_weight=args.transducer_weight,
-                    attn_weight=args.attn_weight,
-                    reverse_weight=args.reverse_weight, **kw)
-            elif args.mode == "rnnt_beam_attn_rescoring":
-                hyps = decoder.rnnt_beam_attn_rescoring(
-                    feats, feat_lens, beam=args.beam_size,
-                    attn_weight=args.attn_weight,
-                    transducer_weight=args.transducer_weight,
-                    search_ctc_weight=args.search_ctc_weight,
-                    reverse_weight=args.reverse_weight,
-                    context_list=(jnp.asarray(ctx) if ctx is not None
-                                  else None),
-                    context_lengths=(jnp.asarray(ctx_lens)
-                                     if ctx_lens is not None else None))
-            else:
-                raise ValueError(args.mode)
-
-            hyps = hyps[:n_real]   # drop mesh-evenness padding rows
-            for key, hyp in zip(batch["keys"], hyps):
-                content = "".join(id2sym.get(t, "<unk>") for t in hyp)
-                content = content.replace("▁", " ").strip()
-                logging.info("%s %s", key, content)
-                fout.write(f"{key} {content}\n")
-            # Hotword-gate edit distance sidecar (reference
-            # `recognize.py:374-375`).
-            if (args.mode == "rnnt_greedy_search"
-                    and hasattr(decoder, "last_gates")
-                    and "hw_labels" in batch):
-                gates, glens = decoder.last_gates
-                gates = np.asarray(gates)
-                for i in range(gates.shape[0]):
-                    ref = [x for x in batch["hw_labels"][i] if x >= 0]
-                    hyp_g = list(gates[i, :glens[i]])
-                    gate_dists.append(edit_distance(ref, hyp_g))
+            for mode in modes:
+                hyps = decode_batch(mode, feats, feat_lens, ctx,
+                                    ctx_lens, kw)
+                hyps = hyps[:n_real]   # drop mesh-evenness padding rows
+                for key, hyp in zip(batch["keys"], hyps):
+                    content = "".join(id2sym.get(t, "<unk>")
+                                      for t in hyp)
+                    content = content.replace("▁", " ").strip()
+                    logging.info("[%s] %s %s", mode, key, content)
+                    fouts[mode].write(f"{key} {content}\n")
+                # Hotword-gate edit distance sidecar (reference
+                # `recognize.py:374-375`).
+                if (mode == "rnnt_greedy_search"
+                        and hasattr(decoder, "last_gates")
+                        and "hw_labels" in batch):
+                    gates, glens = decoder.last_gates
+                    gates = np.asarray(gates)
+                    for i in range(gates.shape[0]):
+                        ref = [x for x in batch["hw_labels"][i] if x >= 0]
+                        hyp_g = list(gates[i, :glens[i]])
+                        gate_dists.append(edit_distance(ref, hyp_g))
+    finally:
+        for f in fouts.values():
+            f.close()
     if gate_dists:
         with open(args.result_file + ".gate_dist", "w") as f:
             f.write(f"<result>{sum(gate_dists)}\n")
