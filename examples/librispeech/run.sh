@@ -181,7 +181,11 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
     for mode in ${decode_modes}; do
       out=${dir}/${mode}_${test_set}
       mkdir -p ${out}
-      mv ${dir}/decode_${test_set}.${mode} ${out}/text
+      # recognize.py writes the unsuffixed result_file when --mode has a
+      # single entry; handle both layouts (advisor r3).
+      src=${dir}/decode_${test_set}.${mode}
+      [ -f "${src}" ] || src=${dir}/decode_${test_set}
+      mv ${src} ${out}/text
       python ${tools}/compute_wer.py data/${test_set}/text ${out}/text \
         > ${out}/wer
       tail -1 ${out}/wer

@@ -54,13 +54,20 @@ def pair():
             return t.sum()
         return t
 
-    if "torchaudio" not in sys.modules:
-        ta = types.ModuleType("torchaudio")
-        ta.functional = types.ModuleType("torchaudio.functional")
-        sys.modules["torchaudio"] = ta
-        sys.modules["torchaudio.functional"] = ta.functional
-        ta.functional = sys.modules["torchaudio.functional"]
-    sys.modules["torchaudio"].functional.rnnt_loss = _stub_rnnt_loss
+    # Install the stub ONLY when no real torchaudio provides rnnt_loss —
+    # overwriting a real module would leak to every other test in the
+    # xdist worker process (advisor r3).
+    try:
+        import torchaudio.functional  # noqa: F401
+    except Exception:
+        if "torchaudio" not in sys.modules:
+            ta = types.ModuleType("torchaudio")
+            ta.functional = types.ModuleType("torchaudio.functional")
+            sys.modules["torchaudio"] = ta
+            sys.modules["torchaudio.functional"] = ta.functional
+            ta.functional = sys.modules["torchaudio.functional"]
+    if not hasattr(sys.modules["torchaudio"].functional, "rnnt_loss"):
+        sys.modules["torchaudio"].functional.rnnt_loss = _stub_rnnt_loss
     sys.path.insert(0, REF)
     import yaml
     cfg_path = os.path.join(

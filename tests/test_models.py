@@ -197,3 +197,81 @@ class TestFusedFFNPallas:
         for a, b in zip(flat_g, flat_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_ln_ffn_residual_matches_reference(self):
+        """Fused LN→FFN→residual block kernel (interpret mode) vs the
+        plain-JAX composition: forward + every gradient."""
+        import jax.numpy as jnp
+
+        from wenet_celoss_tpu.ops.ffn_pallas import ln_ffn_residual
+
+        rng = np.random.default_rng(3)
+        n, d, f = 37, 32, 64
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal((d,)), jnp.float32)
+        bl = jnp.asarray(0.1 * rng.standard_normal((d,)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+        seed = jnp.zeros((), jnp.int32)
+
+        def ref(x, g, bl, w1, b1, w2, b2):
+            mu = jnp.mean(x, -1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+            xn = (x - mu) * jax.lax.rsqrt(var + 1e-5) * g + bl
+            h = xn @ w1 + b1
+            h = h * jax.nn.sigmoid(h)
+            return x + 0.5 * (h @ w2 + b2)
+
+        def fused(x, g, bl, w1, b1, w2, b2):
+            return ln_ffn_residual(x, g, bl, w1, b1, w2, b2, seed,
+                                   "swish", 0.0, 0.0, 0.5,
+                                   interpret=True)
+
+        args = (x, g, bl, w1, b1, w2, b2)
+        y_ref = ref(*args)
+        y_got = fused(*args)
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        gr = jax.grad(lambda *a: jnp.sum(jnp.square(ref(*a))),
+                      argnums=tuple(range(7)))(*args)
+        gg = jax.grad(lambda *a: jnp.sum(jnp.square(fused(*a))),
+                      argnums=tuple(range(7)))(*args)
+        for a, b in zip(gg, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="pltpu.prng_seed has no CPU interpret "
+                               "lowering; run on TPU "
+                               "(tools/check_ln_ffn_tpu.py covers it)")
+    def test_ln_ffn_residual_dropout_stats(self):
+        """With dropout on, the fused block's FFN contribution is zeroed
+        at ~rate2 of output positions, scaled 1/keep elsewhere, and the
+        same seed reproduces the identical mask stream."""
+        import jax.numpy as jnp
+
+        from wenet_celoss_tpu.ops.ffn_pallas import ln_ffn_residual
+
+        rng = np.random.default_rng(5)
+        n, d, f = 256, 32, 32
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        g = jnp.ones((d,), jnp.float32)
+        bl = jnp.zeros((d,), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+        b1 = jnp.ones((f,), jnp.float32) * 3.0   # keep relu active
+        w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.1, jnp.float32)
+        b2 = jnp.zeros((d,), jnp.float32)
+        seed = jnp.asarray(123, jnp.int32)
+
+        y = ln_ffn_residual(x, g, bl, w1, b1, w2, b2, seed, "relu",
+                            0.0, 0.5, 1.0, interpret=True)
+        contrib = np.asarray(y - x)
+        zero_frac = np.mean(np.isclose(contrib, 0.0, atol=1e-7))
+        assert 0.4 < zero_frac < 0.6, zero_frac
+
+        # Same seed → identical masks (determinism of the stream).
+        y2 = ln_ffn_residual(x, g, bl, w1, b1, w2, b2, seed, "relu",
+                             0.0, 0.5, 1.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))

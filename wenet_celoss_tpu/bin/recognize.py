@@ -161,7 +161,9 @@ def main():
             logging.warning(
                 "--sharded has no SPMD path for mode(s) %r; running the "
                 "plain single-program decoder instead", unsupported)
-        elif ("rnnt_greedy_search" in _modes
+        # Independent of the unsupported-mode diagnostic: the exact-mode
+        # fallback must always be surfaced (advisor r3).
+        if ("rnnt_greedy_search" in _modes
                 and args.context_filter_state == "exact"):
             logging.warning(
                 "--sharded: context_filter_state=exact is a host-driven "
@@ -184,6 +186,12 @@ def main():
         if mode == "ctc_prefix_beam_search":
             hyps, _, _, _ = decoder.ctc_prefix_beam_search(
                 feats, feat_lens, beam=args.beam_size, **kw)
+            if hyps is None:
+                raise RuntimeError(
+                    "ctc_prefix_beam_search results span non-addressable "
+                    "devices (multi-process run); the plain Decoder "
+                    "cannot materialize them — use --sharded "
+                    "(ShardedDecoder's collective exchange)")
             return [h[0] for h in hyps]
         if mode == "attention_rescoring":
             return decoder.attention_rescoring(

@@ -153,6 +153,11 @@ class Decoder:
 
     def ctc_prefix_beam_search(self, feats, feat_lens, beam: int = 10,
                                first_beam: Optional[int] = None, **kw):
+        """Returns ``(lists, res, enc, mask)``. ``lists`` (host n-best
+        token lists) is **None** in a multi-process program where the
+        result spans non-addressable devices — host materialization then
+        requires ShardedDecoder's collective exchange; rescoring
+        consumers use the device-array ``res`` directly either way."""
         enc, mask, ctc_lp = self._encode(feats, feat_lens, **kw)
         lens = jnp.sum(mask.astype(jnp.int32), axis=1)
         # Reference `_ctc_prefix_beam_search` prunes the vocabulary to

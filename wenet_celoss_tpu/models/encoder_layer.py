@@ -33,29 +33,46 @@ def _use_ffn_pallas() -> bool:
 
 
 class PositionwiseFeedForward(nn.Module):
+    """FFN, optionally fused with the surrounding pre-LayerNorm, output
+    dropout, and scaled residual (the conformer FFN block).
+
+    With ``ln=None`` returns ``dense2(drop(act(dense1(x))))`` (reference
+    `positionwise_feed_forward.py` semantics). With a bound LayerNorm
+    module passed as ``ln``, returns the WHOLE pre-norm block
+    ``x + ff_scale * drop_out(ffn(ln(x)))`` — on TPU this dispatches one
+    fused Pallas kernel (ops/ffn_pallas.ln_ffn_residual) where LN stats,
+    the [rows, F] hidden, both dropout masks and the residual stay in
+    VMEM."""
+
     hidden_units: int
     dropout_rate: float
     activation: str = "relu"
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic=True):
+    def __call__(self, x, *, deterministic=True, ln=None,
+                 ff_scale: float = 1.0, out_rate: float | None = None):
         d = x.shape[-1]
         dense1 = nn.Dense(self.hidden_units, dtype=self.dtype,
                           name="Dense_0")
         dense2 = nn.Dense(d, dtype=self.dtype, name="Dense_1")
-        # Fused Pallas path (TPU): matmul → act → on-core-PRNG dropout →
-        # matmul in one kernel; the [rows, hidden] activation and the
-        # random bits never touch HBM (ops/ffn_pallas.py).
+        if out_rate is None:
+            out_rate = self.dropout_rate
+        # Fused Pallas path (TPU): [LN →] matmul → act → on-core-PRNG
+        # dropout → matmul [→ dropout → scaled residual] in one kernel;
+        # the [rows, hidden] activation and the random bits never touch
+        # HBM (ops/ffn_pallas.py).
         if (not self.is_initializing() and x.ndim == 3
                 and self.activation in ("relu", "swish")
                 and _use_ffn_pallas()):
             import jax
             import jax.numpy as jnp
 
-            from wenet_celoss_tpu.ops.ffn_pallas import ffn_fused
+            from wenet_celoss_tpu.ops.ffn_pallas import (ffn_fused,
+                                                         ln_ffn_residual)
             rate = 0.0 if deterministic else self.dropout_rate
-            if rate > 0.0:
+            rate2 = 0.0 if deterministic else out_rate
+            if rate > 0.0 or (ln is not None and rate2 > 0.0):
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, 2**31 - 1,
                     dtype=jnp.int32)
@@ -66,16 +83,29 @@ class PositionwiseFeedForward(nn.Module):
             cdt = jnp.dtype(self.dtype) if self.dtype is not None \
                 else x.dtype
             b, t, _ = x.shape
-            y = ffn_fused(x.reshape(b * t, d).astype(cdt),
-                          p1["kernel"].astype(cdt), p1["bias"],
-                          p2["kernel"].astype(cdt), p2["bias"],
-                          seed, self.activation, rate)
+            if ln is not None:
+                pn = ln.variables["params"]
+                y = ln_ffn_residual(
+                    x.reshape(b * t, d).astype(cdt), pn["scale"],
+                    pn["bias"], p1["kernel"].astype(cdt), p1["bias"],
+                    p2["kernel"].astype(cdt), p2["bias"], seed,
+                    self.activation, rate, rate2, ff_scale)
+            else:
+                y = ffn_fused(x.reshape(b * t, d).astype(cdt),
+                              p1["kernel"].astype(cdt), p1["bias"],
+                              p2["kernel"].astype(cdt), p2["bias"],
+                              seed, self.activation, rate)
             return y.reshape(b, t, d)
         act = {"relu": nn.relu, "swish": nn.silu, "gelu": nn.gelu}[
             self.activation]
-        h = act(dense1(x))
+        xin = ln(x) if ln is not None else x
+        h = act(dense1(xin))
         h = FastDropout(self.dropout_rate, deterministic=deterministic)(h)
-        return dense2(h)
+        y = dense2(h)
+        if ln is None:
+            return y
+        y = FastDropout(out_rate, deterministic=deterministic)(y)
+        return x + ff_scale * y
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -111,13 +141,14 @@ class TransformerEncoderLayer(nn.Module):
         x = residual + self.dropout(att, deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm1(x)
-        residual = x
-        xn = self.norm2(x) if self.normalize_before else x
-        x = residual + self.dropout(
-            self.feed_forward(xn, deterministic=deterministic),
-            deterministic=deterministic)
-        if not self.normalize_before:
-            x = self.norm2(x)
+        if self.normalize_before:
+            x = self.feed_forward(x, deterministic=deterministic,
+                                  ln=self.norm2,
+                                  out_rate=self.dropout_rate)
+        else:
+            x = self.norm2(x + self.dropout(
+                self.feed_forward(x, deterministic=deterministic),
+                deterministic=deterministic))
         return x
 
     def forward_with_cache(self, x, att_cache, att_cache_len, att_mask=None,
@@ -130,11 +161,12 @@ class TransformerEncoderLayer(nn.Module):
         x = residual + att
         if not self.normalize_before:
             x = self.norm1(x)
-        residual = x
-        xn = self.norm2(x) if self.normalize_before else x
-        x = residual + self.feed_forward(xn, deterministic=deterministic)
-        if not self.normalize_before:
-            x = self.norm2(x)
+        if self.normalize_before:
+            x = self.feed_forward(x, deterministic=deterministic,
+                                  ln=self.norm2, out_rate=0.0)
+        else:
+            x = self.norm2(x + self.feed_forward(
+                x, deterministic=deterministic))
         return x, new_cache, new_len
 
 
@@ -184,8 +216,11 @@ class ConformerEncoderLayer(nn.Module):
                  deterministic=True, train=False):
         drop = lambda h: self.dropout(h, deterministic=deterministic)
         if self.macaron_style:
-            x = x + self.ff_scale * drop(self.feed_forward_macaron(
-                self.norm_ff_macaron(x), deterministic=deterministic))
+            # Whole FFN block (pre-LN + FFN + dropout + ½-residual) —
+            # one fused Pallas kernel on TPU.
+            x = self.feed_forward_macaron(
+                x, deterministic=deterministic, ln=self.norm_ff_macaron,
+                ff_scale=self.ff_scale, out_rate=self.dropout_rate)
         residual = x
         xn = self.norm_mha(x)
         x = residual + drop(self.self_attn(
@@ -193,8 +228,9 @@ class ConformerEncoderLayer(nn.Module):
         if self.use_cnn_module:
             x = x + drop(self.conv_module(
                 self.norm_conv(x), pad_mask, train=train))
-        x = x + self.ff_scale * drop(self.feed_forward(
-            self.norm_ff(x), deterministic=deterministic))
+        x = self.feed_forward(
+            x, deterministic=deterministic, ln=self.norm_ff,
+            ff_scale=self.ff_scale, out_rate=self.dropout_rate)
         if self.use_cnn_module:
             x = self.norm_final(x)
         return x
@@ -202,8 +238,9 @@ class ConformerEncoderLayer(nn.Module):
     def forward_with_cache(self, x, att_cache, att_cache_len, cnn_cache,
                            att_mask=None, pos_emb=None, *, deterministic=True):
         if self.macaron_style:
-            x = x + self.ff_scale * self.feed_forward_macaron(
-                self.norm_ff_macaron(x), deterministic=deterministic)
+            x = self.feed_forward_macaron(
+                x, deterministic=deterministic, ln=self.norm_ff_macaron,
+                ff_scale=self.ff_scale, out_rate=0.0)
         residual = x
         xn = self.norm_mha(x)
         att, new_att_cache, new_len = self.self_attn.forward_with_cache(
@@ -215,8 +252,9 @@ class ConformerEncoderLayer(nn.Module):
             conv_out, new_cnn_cache = self.conv_module.forward_with_cache(
                 self.norm_conv(x), cnn_cache)
             x = x + conv_out
-        x = x + self.ff_scale * self.feed_forward(
-            self.norm_ff(x), deterministic=deterministic)
+        x = self.feed_forward(
+            x, deterministic=deterministic, ln=self.norm_ff,
+            ff_scale=self.ff_scale, out_rate=0.0)
         if self.use_cnn_module:
             x = self.norm_final(x)
         return x, new_att_cache, new_len, new_cnn_cache

@@ -25,8 +25,12 @@ _Q_KEY = "__q8__"
 
 
 def _is_quantizable(x) -> bool:
+    # jnp.issubdtype (not np): ml_dtypes' bfloat16/float16 leaves from a
+    # bf16-stored checkpoint must quantize too (advisor r3 — np's check
+    # is False for bfloat16, silently exporting full-size).
+    import jax.numpy as jnp
     return (hasattr(x, "ndim") and x.ndim >= 2
-            and np.issubdtype(np.asarray(x).dtype, np.floating))
+            and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
 
 
 def quantize_params(params):
