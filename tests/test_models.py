@@ -242,6 +242,68 @@ class TestFusedFFNPallas:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_conv_block_residual_matches_module(self, causal):
+        """Fused conv-block kernel (interpret mode) vs the unfused
+        LN → ConvolutionModule → residual composition: forward and every
+        gradient, with a partially-padded batch."""
+        from functools import partial as _partial
+
+        import flax.linen as nn
+
+        from wenet_celoss_tpu.models.convolution import ConvolutionModule
+        from wenet_celoss_tpu.ops.conv_pallas import conv_block_residual
+
+        rng = np.random.default_rng(11)
+        b, t, d, k = 3, 21, 16, 7
+        x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+        lens = np.array([21, 13, 5])
+        mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+
+        class Block(nn.Module):
+            @nn.compact
+            def __call__(self, x, mask):
+                ln = nn.LayerNorm(epsilon=1e-5, name="ln")
+                cm = ConvolutionModule(d, k, "layer_norm", causal,
+                                       name="cm")
+                return x + cm(ln(x), mask)
+
+        block = Block()
+        params = block.init(jax.random.PRNGKey(0), x, mask)
+
+        def ref_loss(p):
+            y = block.apply(p, x, mask)
+            return jnp.mean(jnp.square(y)), y
+
+        def fused_loss(p):
+            pp = p["params"]
+            seed = jnp.zeros((), jnp.int32)
+            y = conv_block_residual(
+                x, mask.astype(jnp.float32), pp["ln"]["scale"],
+                pp["ln"]["bias"], pp["cm"]["pointwise_conv1"]["kernel"],
+                pp["cm"]["pointwise_conv1"]["bias"],
+                pp["cm"]["depthwise_conv"]["kernel"][:, 0, :],
+                pp["cm"]["depthwise_conv"]["bias"],
+                pp["cm"]["norm_layer"]["scale"],
+                pp["cm"]["norm_layer"]["bias"],
+                pp["cm"]["pointwise_conv2"]["kernel"],
+                pp["cm"]["pointwise_conv2"]["bias"], seed, causal, 0.0,
+                1e-5, 1, True)
+            return jnp.mean(jnp.square(y)), y
+
+        (_, y_ref), g_ref = jax.value_and_grad(ref_loss,
+                                               has_aux=True)(params)
+        (_, y_got), g_got = jax.value_and_grad(fused_loss,
+                                               has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        flat_r = jax.tree_util.tree_leaves(g_ref)
+        flat_g = jax.tree_util.tree_leaves(g_got)
+        assert len(flat_r) == len(flat_g)
+        for a, b_ in zip(flat_g, flat_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
     @pytest.mark.skipif(jax.default_backend() != "tpu",
                         reason="pltpu.prng_seed has no CPU interpret "
                                "lowering; run on TPU "

@@ -64,21 +64,42 @@ class Dataset:
             data = processor.filter(data, **conf.get("filter_conf", {}))
         if conf.get("resample", True):
             data = processor.resample(data, **conf.get("resample_conf", {}))
-        if conf.get("speed_perturb", False):
-            data = processor.speed_perturb(data, rng=rng)
         feats_type = conf.get("feats_type", "fbank")
         feat_conf = conf.get(f"{feats_type}_conf", {})
         feat_one = {"fbank": processor.fbank_one,
                     "mfcc": processor.mfcc_one}[feats_type]
-        num_workers = conf.get("num_workers", 0)
-        if num_workers > 0 and feat_conf.get("dither", 0.0) == 0.0:
-            # Ordered thread map (fbank's FFT/BLAS release the GIL);
-            # dithering needs the shared rng stream, so it stays serial.
-            from functools import partial
-            data = processor.parallel_map(
-                data, partial(feat_one, **feat_conf),
-                num_workers=num_workers)
+        sp = conf.get("speed_perturb", False)
+        sp_speeds = conf.get("speed_perturb_conf", {}).get(
+            "speeds", [0.9, 1.0, 1.1])
+        import os as _os
+        num_workers = conf.get("num_workers",
+                               min(8, _os.cpu_count() or 1))
+        if num_workers > 0:
+            # Ordered thread map over the heavy numeric stages
+            # (speed-perturb resample + fbank FFT/mel — numpy releases
+            # the GIL). Randomness is COUNTER-BASED per sample: an rng
+            # seeded by (epoch, sample index) is deterministic under any
+            # worker scheduling, and lets DITHERED fbank run in the pool
+            # (the shared-stream design forced dither to the serial
+            # path, reference processor.py:256-286 has the same
+            # dither-uses-global-rng coupling via torchaudio).
+            epoch = self.epoch
+
+            def _featurize(pair):
+                i, s = pair
+                srng = np.random.default_rng(
+                    np.random.SeedSequence(entropy=(epoch, i)))
+                if sp:
+                    speed = sp_speeds[int(srng.integers(len(sp_speeds)))]
+                    s = processor.speed_perturb_one(s, speed)
+                return feat_one(s, np_rng=srng, **feat_conf)
+
+            data = processor.parallel_map(enumerate(data), _featurize,
+                                          num_workers=num_workers)
         else:
+            if sp:
+                data = processor.speed_perturb(data, speeds=sp_speeds,
+                                               rng=rng)
             data = (sample for sample in map(
                 lambda s: feat_one(s, np_rng=np_rng, **feat_conf), data))
         if conf.get("spec_aug", False):

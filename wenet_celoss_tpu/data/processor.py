@@ -177,18 +177,22 @@ def resample(data: Iterable[Dict], resample_rate: int = 16000
         yield sample
 
 
+def speed_perturb_one(sample: Dict, speed: float) -> Dict:
+    """Apply one speed factor (reference :228-253); playback-rate
+    resample = tempo+pitch shift, same as sox 'speed'."""
+    if speed != 1.0:
+        sr = sample["sample_rate"]
+        sample["wav"] = _linear_resample(sample["wav"], sr * speed, sr)
+    return sample
+
+
 def speed_perturb(data: Iterable[Dict], speeds: Optional[List[float]] = None,
                   rng: Optional[random.Random] = None) -> Iterator[Dict]:
-    """Random 0.9/1.0/1.1 speed change (reference :228-253); playback-rate
-    resample = tempo+pitch shift, same as sox 'speed'."""
+    """Random 0.9/1.0/1.1 speed change (reference :228-253)."""
     speeds = speeds or [0.9, 1.0, 1.1]
     rng = rng or random
     for sample in data:
-        speed = rng.choice(speeds)
-        if speed != 1.0:
-            sr = sample["sample_rate"]
-            sample["wav"] = _linear_resample(sample["wav"], sr * speed, sr)
-        yield sample
+        yield speed_perturb_one(sample, rng.choice(speeds))
 
 
 def compute_fbank(data: Iterable[Dict], num_mel_bins: int = 23,

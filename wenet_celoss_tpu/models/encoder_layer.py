@@ -32,6 +32,23 @@ def _use_ffn_pallas() -> bool:
             and os.environ.get("FFN_PALLAS", "1") == "1")
 
 
+def _use_conv_pallas() -> bool:
+    # Default OFF: the fused conv-block kernel was built and MEASURED
+    # SLOWER than XLA's composition at the flagship point — 2.34 vs
+    # 1.11 ms/layer fwd+bwd (12-block tower, B=256, T'=127; larger
+    # batch-groups exceed scoped VMEM). XLA already fuses
+    # LN+GLU+depthwise+swish into the pointwise matmuls here; the
+    # kernel's fp32 recompute + small sequential groups lose. Kept
+    # in-tree (ops/conv_pallas.py, parity-tested) for long-T configs
+    # where the [T,2D] hidden stops fitting XLA's fusion budget.
+    # See ROADMAP "conv-block kernel decision (r4)".
+    import os
+
+    import jax
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("CONV_PALLAS", "0") == "1")
+
+
 class PositionwiseFeedForward(nn.Module):
     """FFN, optionally fused with the surrounding pre-LayerNorm, output
     dropout, and scaled residual (the conformer FFN block).
@@ -226,14 +243,55 @@ class ConformerEncoderLayer(nn.Module):
         x = residual + drop(self.self_attn(
             xn, xn, xn, att_mask, pos_emb, deterministic=deterministic))
         if self.use_cnn_module:
-            x = x + drop(self.conv_module(
-                self.norm_conv(x), pad_mask, train=train))
+            if (not self.is_initializing()
+                    and self.cnn_module_norm == "layer_norm"
+                    and _use_conv_pallas()):
+                # Whole conv block (pre-LN + pointwise/GLU/depthwise/
+                # LN/swish/pointwise + dropout + residual) — one fused
+                # Pallas kernel (ops/conv_pallas.py).
+                x = self._fused_conv_block(x, pad_mask,
+                                           deterministic=deterministic)
+            else:
+                x = x + drop(self.conv_module(
+                    self.norm_conv(x), pad_mask, train=train))
         x = self.feed_forward(
             x, deterministic=deterministic, ln=self.norm_ff,
             ff_scale=self.ff_scale, out_rate=self.dropout_rate)
         if self.use_cnn_module:
             x = self.norm_final(x)
         return x
+
+    def _fused_conv_block(self, x, pad_mask, *, deterministic):
+        import jax
+        import jax.numpy as jnp
+
+        from wenet_celoss_tpu.ops.conv_pallas import conv_block_residual
+        pn = self.norm_conv.variables["params"]
+        cm = self.conv_module
+        p1 = cm.pointwise_conv1.variables["params"]
+        pdw = cm.depthwise_conv.variables["params"]
+        pln = cm.norm_layer.variables["params"]
+        p2 = cm.pointwise_conv2.variables["params"]
+        cdt = jnp.dtype(self.dtype) if self.dtype is not None else x.dtype
+        b, t, d = x.shape
+        rate = 0.0 if deterministic else self.dropout_rate
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      2**31 - 1, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        if pad_mask is None:
+            mask = jnp.ones((b, t), jnp.float32)
+        else:
+            mask = pad_mask.astype(jnp.float32)
+        zeros = jnp.zeros((d,), jnp.float32)
+        zeros2 = jnp.zeros((2 * d,), jnp.float32)
+        return conv_block_residual(
+            x.astype(cdt), mask, pn["scale"], pn["bias"],
+            p1["kernel"].astype(cdt), p1.get("bias", zeros2),
+            pdw["kernel"][:, 0, :], pdw.get("bias", zeros),
+            pln["scale"], pln["bias"], p2["kernel"].astype(cdt),
+            p2.get("bias", zeros), seed, self.causal, rate)
 
     def forward_with_cache(self, x, att_cache, att_cache_len, cnn_cache,
                            att_mask=None, pos_emb=None, *, deterministic=True):

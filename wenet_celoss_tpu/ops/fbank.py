@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -58,13 +58,23 @@ class FbankConfig:
 
 
 def num_frames(num_samples, cfg: FbankConfig):
-    """Kaldi snip_edges frame count; works on ints or traced arrays."""
+    """Kaldi snip_edges frame count; works on ints or traced arrays.
+
+    Concrete python/numpy inputs MUST stay off the jnp path: a
+    ``jnp.maximum`` on an int creates a device scalar, and ``int()`` of
+    it is a device→host sync — ~32 ms per call over the axon tunnel,
+    which made the HOST fbank 50 ms/utterance (tools/bench_pipeline.py
+    found the input pipeline at 168 audio-s/s because of it)."""
     if cfg.snip_edges:
-        return jnp.maximum(
-            (num_samples - cfg.frame_length) // cfg.frame_shift + 1, 0)
+        n = (num_samples - cfg.frame_length) // cfg.frame_shift + 1
+        if isinstance(num_samples, (int, np.integer)) or \
+                isinstance(num_samples, np.ndarray):
+            return np.maximum(n, 0)
+        return jnp.maximum(n, 0)
     return (num_samples + cfg.frame_shift // 2) // cfg.frame_shift
 
 
+@lru_cache(maxsize=16)
 def _window(cfg: FbankConfig) -> np.ndarray:
     n = cfg.frame_length
     a = 2.0 * math.pi / (n - 1)
@@ -82,6 +92,7 @@ def _window(cfg: FbankConfig) -> np.ndarray:
     return w.astype(np.float32)
 
 
+@lru_cache(maxsize=16)
 def mel_banks(cfg: FbankConfig) -> np.ndarray:
     """[num_bins, fft/2+1] triangular mel weights, kaldi-style
     (reference `runtime/core/frontend/fbank.h:52-90`)."""
@@ -178,7 +189,7 @@ def compute_fbank_np(wav: np.ndarray, cfg: FbankConfig = FbankConfig(),
     frames = wav[idx]
     if cfg.dither > 0.0 and rng is not None:
         frames = frames + cfg.dither * rng.standard_normal(
-            frames.shape).astype(np.float32)
+            frames.shape, dtype=np.float32)
     if cfg.remove_dc_offset:
         frames = frames - frames.mean(axis=1, keepdims=True)
     if cfg.preemphasis > 0.0:
