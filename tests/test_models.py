@@ -337,3 +337,94 @@ class TestFusedFFNPallas:
         y2 = ln_ffn_residual(x, g, bl, w1, b1, w2, b2, seed, "relu",
                              0.0, 0.5, 1.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+class TestFusedLSTMPallas:
+    """Fused 2-layer LSTM sequence kernel (interpret mode, CPU) vs an XLA
+    scan reference, and the RNNPredictor wiring that feeds it (dropout
+    paths need pltpu.prng_seed and are validated on-chip by
+    tools/check_lstm_tpu.py)."""
+
+    @staticmethod
+    def _ref(xw1, wh1, wi2, bh2, wh2):
+        H = wh1.shape[0]
+
+        def layer(xw, wh, extra=None):
+            def step(carry, xwt):
+                c, h = carry
+                z = xwt + h @ wh
+                i_, f_, g_, o_ = jnp.split(z, 4, axis=-1)
+                c2 = jax.nn.sigmoid(f_) * c + \
+                    jax.nn.sigmoid(i_) * jnp.tanh(g_)
+                h2 = jax.nn.sigmoid(o_) * jnp.tanh(c2)
+                return (c2, h2), h2
+
+            z = jnp.zeros((xw.shape[0], H))
+            (_, _), hs = jax.lax.scan(step, (z, z), jnp.swapaxes(xw, 0, 1))
+            return jnp.swapaxes(hs, 0, 1)
+
+        h1 = layer(xw1, wh1)
+        return layer(h1 @ wi2 + bh2, wh2)
+
+    def test_fwd_bwd_match(self):
+        from wenet_celoss_tpu.ops.lstm_pallas import lstm2_seq
+
+        rng = np.random.default_rng(0)
+        B, U, H, E = 4, 7, 256, 256
+        x = jnp.asarray(rng.standard_normal((B, U, E)) * 0.5, jnp.float32)
+        wi1 = jnp.asarray(rng.standard_normal((E, 4 * H)) * 0.05,
+                          jnp.float32)
+        bh1 = jnp.asarray(rng.standard_normal((4 * H,)) * 0.05, jnp.float32)
+        mk = lambda: jnp.asarray(
+            rng.standard_normal((H, 4 * H)) * 0.05, jnp.float32)
+        wh1, wi2, wh2 = mk(), mk(), mk()
+        bh2 = jnp.asarray(rng.standard_normal((4 * H,)) * 0.05, jnp.float32)
+        xw1 = x @ wi1 + bh1
+        seed = jnp.zeros((), jnp.int32)
+        g = jnp.asarray(rng.standard_normal((B, U, H)), jnp.float32)
+
+        def loss_k(*a):
+            return jnp.sum(lstm2_seq(*a, seed, 0.0, 4, True) * g)
+
+        def loss_r(*a):
+            return jnp.sum(self._ref(*a) * g)
+
+        np.testing.assert_allclose(
+            np.asarray(lstm2_seq(xw1, wh1, wi2, bh2, wh2, seed, 0.0, 4,
+                                 True)),
+            np.asarray(self._ref(xw1, wh1, wi2, bh2, wh2)),
+            rtol=1e-5, atol=1e-5)
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(
+            xw1, wh1, wi2, bh2, wh2)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(
+            xw1, wh1, wi2, bh2, wh2)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_predictor_fused_wiring_matches_scan(self, monkeypatch):
+        """RNNPredictor with the fused path (interpret, rate=0 via
+        deterministic) == the XLA scan path, including the one-hot embed
+        reformulation (exact in fp32)."""
+        from functools import partial as _partial
+
+        import wenet_celoss_tpu.models.predictor as P
+        import wenet_celoss_tpu.ops.lstm_pallas as LP
+
+        pred = P.RNNPredictor(voca_size=50, embed_size=32, output_size=24,
+                              hidden_size=256, num_layers=2,
+                              embed_dropout=0.0, dropout=0.0)
+        rng = np.random.default_rng(1)
+        tokens = jnp.asarray(rng.integers(0, 50, (3, 5)), jnp.int32)
+        params = pred.init(jax.random.PRNGKey(0), tokens)
+
+        monkeypatch.setattr(P, "_use_lstm_pallas", lambda: False)
+        y_ref = pred.apply(params, tokens, deterministic=True)
+
+        monkeypatch.setattr(P, "_use_lstm_pallas", lambda: True)
+        monkeypatch.setattr(LP, "lstm2_seq",
+                            _partial(LP.lstm2_seq, interpret=True))
+        y_got = pred.apply(params, tokens, deterministic=True)
+        # bf16 matmuls in the fused path vs f32 in the scan path.
+        np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
+                                   rtol=0.05, atol=0.02)

@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from wenet_celoss_tpu.utils.common import get_activation
 
 
+def _use_lstm_pallas() -> bool:
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("LSTM_PALLAS", "1") == "1")
+
+
 class RNNPredictor(nn.Module):
     voca_size: int
     embed_size: int
@@ -110,10 +116,59 @@ class RNNPredictor(nn.Module):
             new_state["c"] = jnp.stack(new_c)
         return x, new_state
 
+    def _fused_seq(self, x, deterministic):
+        """Whole-sequence fused Pallas path (zero initial state): both
+        LSTM layers + the inter-layer dropout run as ONE kernel with the
+        recurrent states resident in VMEM (ops/lstm_pallas.py). The
+        hoisted layer-1 input projection stays outside as one MXU matmul
+        (same hoisting as _run_layers)."""
+        from wenet_celoss_tpu.ops.lstm_pallas import lstm2_seq
+        cdt = jnp.bfloat16
+        cp1 = self.cells[0].variables["params"]
+        cp2 = self.cells[1].variables["params"]
+        wi1 = jnp.concatenate(
+            [cp1[g]["kernel"] for g in ("ii", "if", "ig", "io")], 1)
+        bh1 = jnp.concatenate(
+            [cp1[g]["bias"] for g in ("hi", "hf", "hg", "ho")])
+        wh1 = jnp.concatenate(
+            [cp1[g]["kernel"] for g in ("hi", "hf", "hg", "ho")], 1)
+        wi2 = jnp.concatenate(
+            [cp2[g]["kernel"] for g in ("ii", "if", "ig", "io")], 1)
+        bh2 = jnp.concatenate(
+            [cp2[g]["bias"] for g in ("hi", "hf", "hg", "ho")])
+        wh2 = jnp.concatenate(
+            [cp2[g]["kernel"] for g in ("hi", "hf", "hg", "ho")], 1)
+        xw1 = (jax.lax.dot_general(
+            x.astype(cdt), wi1.astype(cdt), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bh1[None, None, :]).astype(cdt)
+        rate = 0.0 if deterministic else self.dropout
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      2**31 - 1, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        return lstm2_seq(xw1, wh1.astype(cdt), wi2.astype(cdt), bh2,
+                         wh2.astype(cdt), seed, rate)
+
     def __call__(self, tokens: jnp.ndarray,
                  state: Optional[Dict] = None, *,
                  deterministic: bool = True) -> jnp.ndarray:
         """tokens [B, U] → [B, U, output_size]."""
+        if (state is None and not self.is_initializing()
+                and self.rnn_type == "lstm" and self.num_layers == 2
+                and self.hidden_size % 128 == 0 and _use_lstm_pallas()):
+            # One-hot matmul embedding: identical values to the gather,
+            # but the backward is an MXU matmul (onehot^T dx) instead of
+            # a scatter-add (an order of magnitude slower on TPU — same
+            # rationale as the V-axis gathers in ops/ctc_loss.py).
+            emb = self.embed.variables["params"]["embedding"]
+            oh = jax.nn.one_hot(tokens, self.voca_size, dtype=jnp.bfloat16)
+            x = jax.lax.dot_general(
+                oh, emb.astype(jnp.bfloat16), (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x = self.embed_drop(x, deterministic=deterministic)
+            return self.projection(self._fused_seq(x, deterministic))
         x = self.embed_drop(self.embed(tokens), deterministic=deterministic)
         if state is None:
             state = self.init_state(tokens.shape[0])

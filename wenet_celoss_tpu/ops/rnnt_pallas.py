@@ -262,60 +262,67 @@ def _act_deriv(name, pre, h):
 
 def _joint_fwd_kernel(enc_ref, pred_ref, w_ref, oh_ref, b_ref,
                       blank_ref, emit_ref, lse_ref, *, activation, blank,
-                      tt, u1p, h, v):
+                      tt, u1, h, v):
+    # U-MAJOR: the joint tile is [u1, tt, h] with the REAL u1 (33 at the
+    # flagship point), not the 16-aligned block padding (48) — u1 sits on
+    # a major axis so only the matmul's row count (u1*tt) needs rounding,
+    # vs 45% padded-row FLOP waste when u1 was the sublane dim.
     enc = enc_ref[0]                                   # [TT, H] bf16
-    pred = pred_ref[0]                                 # [U1P, H]
+    pred = pred_ref[0][:u1]                            # [U1, H]
     hidden = _act_fwd(activation,
-                      enc[:, None, :] + pred[None, :, :])   # [TT, U1P, H]
-    hidden2 = hidden.reshape(tt * u1p, h)
+                      pred[:, None, :] + enc[None, :, :])   # [U1, TT, H]
+    hidden2 = hidden.reshape(u1 * tt, h)
     logits = jax.lax.dot_general(
         hidden2, w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ref[0][None, :]
-    logits3 = logits.reshape(tt, u1p, v)
+    logits3 = logits.reshape(u1, tt, v)
     m = jnp.max(logits3, axis=-1)
     lse = jnp.log(jnp.sum(jnp.exp(logits3 - m[..., None]), axis=-1)) + m
     blank_lp = logits3[:, :, blank] - lse
-    emit_lp = jnp.sum(logits3 * oh_ref[0][None, :, :].astype(jnp.float32),
-                      axis=-1) - lse
-    blank_ref[0] = blank_lp
-    emit_ref[0] = emit_lp
-    lse_ref[0] = lse
+    emit_lp = jnp.sum(
+        logits3 * oh_ref[0][:u1][:, None, :].astype(jnp.float32),
+        axis=-1) - lse
+    # Planes leave the kernel T-major (outer contract unchanged); the
+    # [U1, TT] → [TT, U1] transposes are single-tile relayouts.
+    blank_ref[0, :, :u1] = blank_lp.T                  # lanes u1.. unused
+    emit_ref[0, :, :u1] = emit_lp.T
+    lse_ref[0, :, :u1] = lse.T
 
 
 def _joint_bwd_kernel(enc_ref, pred_ref, w_ref, oh_ref, b_ref, gb_ref,
                       ge_ref, lse_ref, denc_ref, dpred_ref, dw_ref, db_ref,
-                      *, activation, blank, tt, u1p, h, v):
+                      *, activation, blank, tt, u1, h, v):
     enc = enc_ref[0]
-    pred = pred_ref[0]
-    pre = enc[:, None, :] + pred[None, :, :]           # [TT, U1P, H]
+    pred = pred_ref[0][:u1]                            # [U1, H]
+    pre = pred[:, None, :] + enc[None, :, :]           # [U1, TT, H]
     hidden = _act_fwd(activation, pre)
-    hidden2 = hidden.reshape(tt * u1p, h)
+    hidden2 = hidden.reshape(u1 * tt, h)
     w = w_ref[:]
     logits = jax.lax.dot_general(
         hidden2, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ref[0][None, :]
-    logits3 = logits.reshape(tt, u1p, v)
-    p = jnp.exp(logits3 - lse_ref[0][..., None])       # [TT, U1P, V] f32
-    gb = gb_ref[0]                                     # [TT, U1P] f32
-    ge = ge_ref[0]
+    logits3 = logits.reshape(u1, tt, v)
+    p = jnp.exp(logits3 - lse_ref[0][:, :u1].T[..., None])  # [U1,TT,V] f32
+    gb = gb_ref[0][:, :u1].T                           # [U1, TT] f32
+    ge = ge_ref[0][:, :u1].T
     dlogits = (gb + ge)[..., None] * p \
-        - ge[..., None] * oh_ref[0][None, :, :].astype(jnp.float32)
+        - ge[..., None] * oh_ref[0][:u1][:, None, :].astype(jnp.float32)
     # blank column: dlogits[..., blank] -= gb  (blank is static)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tt, u1p, v), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (u1, tt, v), 2)
     dlogits = jnp.where(col == blank, dlogits - gb[..., None], dlogits)
-    dlog2 = dlogits.reshape(tt * u1p, v).astype(w.dtype)
+    dlog2 = dlogits.reshape(u1 * tt, v).astype(w.dtype)
     dpre2 = jax.lax.dot_general(
         dlog2, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TT*U1P, H]
-    dpre = dpre2.reshape(tt, u1p, h) * _act_deriv(
+        preferred_element_type=jnp.float32)            # [U1*TT, H]
+    dpre = dpre2.reshape(u1, tt, h) * _act_deriv(
         activation, pre, hidden).astype(jnp.float32)
-    denc_ref[0] = jnp.sum(dpre, axis=1)                # [TT, H]
+    denc_ref[0] = jnp.sum(dpre, axis=0)                # [TT, H]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        dpred_ref[0] = jnp.zeros((u1p, h), jnp.float32)
+        dpred_ref[0] = jnp.zeros_like(dpred_ref[0])
 
-    dpred_ref[0] += jnp.sum(dpre, axis=0)
+    dpred_ref[0, :u1] += jnp.sum(dpre, axis=1)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -358,7 +365,7 @@ def streaming_joint_planes_fwd(enc_j, pred_j, w_out, b_out, onehot,
     u1p = pred_p.shape[1]
     grid = (b, t_p // tt)
     kern = partial(_joint_fwd_kernel, activation=activation, blank=blank,
-                   tt=tt, u1p=u1p, h=h, v=v)
+                   tt=tt, u1=u1, h=h, v=v)
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -416,7 +423,7 @@ def streaming_joint_planes_bwd(enc_j, pred_j, w_out, b_out, onehot, gb, ge,
     lse_p = pad_tu(lse, 1e9)
     grid = (b, t_p // tt)
     kern = partial(_joint_bwd_kernel, activation=activation, blank=blank,
-                   tt=tt, u1p=u1p, h=h, v=v)
+                   tt=tt, u1=u1, h=h, v=v)
     denc, dpred, dw, db = pl.pallas_call(
         kern,
         grid=grid,
