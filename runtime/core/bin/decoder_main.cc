@@ -157,6 +157,10 @@ int main(int argc, char** argv) {
     double audio_ms = 1000.0 * reader.num_samples() / reader.sample_rate();
     total_audio_ms += audio_ms;
     total_decode_ms += decode_ms;
+    // Per-utterance timing (stderr, machine-parsable) so harnesses can
+    // separate first-utterance compile cost from steady-state RTF.
+    std::fprintf(stderr, "UTTMS %s %d %.0f\n", kv.first.c_str(), decode_ms,
+                 audio_ms);
     std::string text = decoder.DecodedSomething()
                            ? decoder.result()[0].sentence
                            : "";

@@ -77,11 +77,15 @@ class DecoderLayer(nn.Module):
         x = residual + drop(ca)
         if not self.normalize_before:
             x = self.norm2(x)
+        if self.normalize_before:
+            # Whole FFN block (pre-LN + FFN + dropout + residual) — one
+            # fused Pallas kernel on TPU (ops/ffn_pallas.ln_ffn_residual).
+            return self.feed_forward(x, deterministic=deterministic,
+                                     ln=self.norm3,
+                                     out_rate=self.dropout_rate)
         residual = x
-        xn = self.norm3(x) if self.normalize_before else x
-        x = residual + drop(self.feed_forward(xn, deterministic=deterministic))
-        if not self.normalize_before:
-            x = self.norm3(x)
+        x = residual + drop(self.feed_forward(x, deterministic=deterministic))
+        x = self.norm3(x)
         return x
 
 

@@ -348,7 +348,7 @@ def _pad_to(x, axis, mult, value=0.0):
 
 
 def streaming_joint_planes_fwd(enc_j, pred_j, w_out, b_out, onehot,
-                               activation: str, blank: int, tt: int = 16,
+                               activation: str, blank: int, tt: int = 64,
                                interpret: bool = False):
     """(blank_lp, emit_lp, lse) [B, T, U1] f32 via the fused Pallas kernel.
 
@@ -394,6 +394,8 @@ def streaming_joint_planes_fwd(enc_j, pred_j, w_out, b_out, onehot,
             jax.ShapeDtypeStruct((b, t_p, u1p), jnp.float32),
             jax.ShapeDtypeStruct((b, t_p, u1p), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(enc_p, pred_p, w_out, oh_p, b_out.astype(jnp.float32)[None, :])
     blank_lp, emit_lp, lse = (o[:, :t_max, :u1] for o in out)
@@ -402,7 +404,7 @@ def streaming_joint_planes_fwd(enc_j, pred_j, w_out, b_out, onehot,
 
 def streaming_joint_planes_bwd(enc_j, pred_j, w_out, b_out, onehot, gb, ge,
                                lse, activation: str, blank: int,
-                               tt: int = 16, interpret: bool = False):
+                               tt: int = 64, interpret: bool = False):
     """Backward of the fused joint: returns (denc [B,T,H] f32,
     dpred [B,U1,H] f32, dw [H,V] f32, db [V] f32). gb/ge must already be
     0 on invalid cells; lse is re-padded internally with +1e9 so padded
@@ -461,6 +463,8 @@ def streaming_joint_planes_bwd(enc_j, pred_j, w_out, b_out, onehot, gb, ge,
             jax.ShapeDtypeStruct((h, v), jnp.float32),
             jax.ShapeDtypeStruct((1, v), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(enc_p, pred_p, w_out, oh_p, b_out.astype(jnp.float32)[None, :],
       gb_p, ge_p, lse_p)
