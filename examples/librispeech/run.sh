@@ -7,7 +7,7 @@
 set -eo pipefail
 
 SCRIPT_DIR=$(cd "$(dirname "$0")" && pwd)
-REPO=$(cd "${SCRIPT_DIR}/../.." && pwd)
+REPO=${WENET_TPU_REPO:-$(cd "${SCRIPT_DIR}/../.." && pwd)}
 cd "${SCRIPT_DIR}"
 export PYTHONPATH=${REPO}${PYTHONPATH:+:${PYTHONPATH}}
 tools=${REPO}/tools
@@ -16,10 +16,12 @@ runtime=${REPO}/runtime
 stage=0
 stop_stage=6
 smoke=false            # --smoke: synthetic mini data, tiny model, all stages
+dryrun=false           # --dryrun: REAL-data code path on a fake flac tree
 
 for arg in "$@"; do
   case $arg in
     --smoke) smoke=true ;;
+    --dryrun) dryrun=true ;;
     --stage=*) stage=${arg#*=} ;;
     --stop_stage=*) stop_stage=${arg#*=} ;;
   esac
@@ -38,6 +40,47 @@ average_num=30
 spm_vocab=5000
 num_epochs=""
 train_extra=()
+
+if [ "${dryrun}" = true ]; then
+  # Readiness rehearsal for the day the real dataset appears: every stage
+  # runs its NON-smoke branch — find-over-.flac wav.scp prep, trans.txt
+  # collection, FLAC decode through cmvn/train/decode, C++ runtime FLAC
+  # read — against a fabricated LibriSpeech-shaped tree
+  # (tools/make_fake_librispeech.py). Tiny model + 2 epochs; no WER gate
+  # (plumbing, not accuracy — the smoke covers accuracy).
+  dir=exp/dryrun
+  data=data/fake_librispeech
+  train_sets="train-clean-100 train-clean-360 train-other-500"
+  test_sets="test-clean"
+  average_num=1
+  spm_vocab=60
+  num_epochs=2
+  export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+  rm -rf ${data}
+  python ${tools}/make_fake_librispeech.py --out_dir ${data} \
+    --parts ${train_sets} ${dev_set} ${test_sets} --n_utts 12
+  for ov in "encoder_conf.num_blocks 2" "encoder_conf.output_size 64" \
+      "encoder_conf.attention_heads 2" "encoder_conf.linear_units 64" \
+      "encoder_conf.cnn_module_kernel 7" "decoder_conf.num_blocks 1" \
+      "decoder_conf.r_num_blocks 1" "decoder_conf.attention_heads 2" \
+      "decoder_conf.linear_units 64" "predictor_conf.embed_size 64" \
+      "predictor_conf.output_size 64" "predictor_conf.hidden_size 64" \
+      "predictor_conf.num_layers 1" "joint_conf.join_dim 64" \
+      "context_conf.embedding_size 64" "context_conf.attention_heads 2" \
+      "context_conf.linear_units 64" "context_conf.num_block 1" \
+      "context_conf.unified_hw_odim 16" \
+      "dataset_conf.batch_conf.batch_type static" \
+      "dataset_conf.batch_conf.batch_size 8" \
+      "dataset_conf.filter_conf.min_length 0" \
+      "dataset_conf.fbank_conf.dither 0.0" "dtype float32" \
+      "scheduler_conf.warmup_steps 40" "optim_conf.lr 0.005" \
+      "dataset_conf.speed_perturb false" \
+      "dataset_conf.spec_aug false" \
+      "context nobias" "model_conf.hw_weight 0.0" \
+      "accum_grad 1"; do
+    train_extra+=(--override_config "${ov}")
+  done
+fi
 
 if [ "${smoke}" = true ]; then
   dir=exp/smoke

@@ -25,6 +25,14 @@ class WavReader {
     if (std::fread(riff, 1, 4, fp) != 4 || std::fread(&size, 4, 1, fp) != 1 ||
         std::fread(wave, 1, 4, fp) != 4 || std::memcmp(riff, "RIFF", 4) ||
         std::memcmp(wave, "WAVE", 4)) {
+      // FLAC fallback — LibriSpeech ships .flac; the reference pushes
+      // format handling to sox in its recipes, here the in-tree decoder
+      // (frontend/flac.cc) serves the runtime directly.
+      if (!std::memcmp(riff, "fLaC", 4)) {
+        std::fclose(fp);
+        OpenFlac(filename);
+        return;
+      }
       std::fclose(fp);
       throw std::runtime_error("not a RIFF/WAVE file: " + filename);
     }
@@ -91,6 +99,8 @@ class WavReader {
   const float* data() const { return samples_.data(); }
 
  private:
+  void OpenFlac(const std::string& filename);
+
   uint16_t num_channels_ = 1;
   uint32_t sample_rate_ = 16000;
   int num_samples_ = 0;

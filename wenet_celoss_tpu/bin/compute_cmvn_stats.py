@@ -21,7 +21,7 @@ def main():
 
     import yaml
 
-    from wenet_celoss_tpu.data.wav import read_wav
+    from wenet_celoss_tpu.data.wav import read_audio
     from wenet_celoss_tpu.ops.fbank import FbankConfig, compute_fbank_np
 
     with open(args.train_config) as f:
@@ -39,7 +39,7 @@ def main():
                 continue
             path = parts[1]
             try:
-                wav, sr = read_wav(path)
+                wav, sr = read_audio(path)
             except Exception:
                 continue
             if wav.ndim > 1:
@@ -55,6 +55,9 @@ def main():
             frames += feat.shape[0]
             if i % args.log_interval == 0:
                 print(f"processed {i} utts, {frames} frames")
+    # A zero frame count means every utterance failed to read — a
+    # silently-NaN global CMVN would poison training; fail loudly.
+    assert frames > 0, f"no frames accumulated from {args.in_scp}"
     with open(args.out_cmvn, "w") as f:
         json.dump({"mean_stat": mean_stat.tolist(),
                    "var_stat": var_stat.tolist(),

@@ -34,7 +34,7 @@ from urllib.parse import urlparse
 import numpy as np
 
 from wenet_celoss_tpu.data.tokenizer import Tokenizer
-from wenet_celoss_tpu.data.wav import read_wav
+from wenet_celoss_tpu.data.wav import read_audio
 from wenet_celoss_tpu.ops.fbank import FbankConfig, compute_fbank_np
 
 AUDIO_FORMAT = ("flac", "mp3", "m4a", "ogg", "opus", "wav", "wma")
@@ -84,7 +84,7 @@ def tar_file_and_group(data: Iterable[Dict]) -> Iterator[Dict]:
                 if postfix == "txt":
                     example["txt"] = data_bytes.decode("utf8").strip()
                 elif postfix in AUDIO_FORMAT:
-                    wav, sr = read_wav(data_bytes)
+                    wav, sr = read_audio(data_bytes)
                     if wav.ndim > 1:
                         wav = wav.mean(axis=1)
                     example["wav"] = wav
@@ -111,7 +111,7 @@ def parse_raw(data: Iterable[Dict]) -> Iterator[Dict]:
     for sample in data:
         obj = json.loads(sample["src"])
         try:
-            wav, sr = read_wav(obj["wav"])
+            wav, sr = read_audio(obj["wav"])
             if wav.ndim > 1:
                 wav = wav.mean(axis=1)
             if "start" in obj or "end" in obj:

@@ -87,3 +87,28 @@ def write_wav(path, samples: np.ndarray, sample_rate: int):
                             channels * 2, 16))
         f.write(struct.pack("<4sI", b"data", len(data)))
         f.write(data)
+
+
+def read_audio(source) -> Tuple[np.ndarray, int]:
+    """Format-sniffing audio reader: RIFF/WAVE or FLAC.
+
+    The reference pipeline delegates format handling to torchaudio
+    (reference `wenet/dataset/processor.py:115-153`); here the two
+    formats speech corpora actually use (LibriSpeech ships .flac,
+    `examples/librispeech/s0/run.sh:47-120`) are read by the in-tree
+    decoders. Same return contract as read_wav.
+    """
+    if isinstance(source, (bytes, bytearray)):
+        head = bytes(source[:4])
+        data = source
+    elif hasattr(source, "read"):
+        data = source.read()
+        head = data[:4]
+    else:
+        with open(source, "rb") as f:
+            data = f.read()
+        head = data[:4]
+    if head == b"fLaC":
+        from wenet_celoss_tpu.data.flac import read_flac
+        return read_flac(data)
+    return read_wav(data)

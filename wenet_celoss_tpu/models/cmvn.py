@@ -21,6 +21,7 @@ def load_cmvn_json(path: str) -> Tuple[np.ndarray, np.ndarray]:
     means = np.array(stats["mean_stat"], dtype=np.float64)
     variance = np.array(stats["var_stat"], dtype=np.float64)
     count = stats["frame_num"]
+    assert count > 0, f"CMVN stats at {path} have zero frames"
     means = means / count
     variance = variance / count - means * means
     variance = np.maximum(variance, 1.0e-20)
