@@ -142,6 +142,9 @@ def bench_decode(emit=print):
             print(f"decode bench {mode}: exceeded {budget}s budget "
                   f"(cold compile); skipped", file=sys.stderr)
             return
+        except Exception as e:  # one broken mode must not lose the rest
+            print(f"decode bench {mode} failed: {e!r}", file=sys.stderr)
+            return
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)

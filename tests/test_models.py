@@ -428,3 +428,58 @@ class TestFusedLSTMPallas:
         # bf16 matmuls in the fused path vs f32 in the scan path.
         np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref),
                                    rtol=0.05, atol=0.02)
+
+
+class TestLnMatmulPallas:
+    """Fused LN→(rowmask)→matmul kernel (interpret mode, CPU) vs the XLA
+    composition, including the conv module's input-mask semantics."""
+
+    def test_fwd_bwd_match(self):
+        from wenet_celoss_tpu.ops.ffn_pallas import ln_matmul
+
+        rng = np.random.default_rng(3)
+        n, d, f = 37, 32, 64
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((d,)) * 0.2 + 1.0, jnp.float32)
+        bl = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+        w = jnp.asarray(rng.standard_normal((d, f)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+        mask = jnp.asarray(rng.integers(0, 2, (n, 1)), jnp.float32)
+        gy = jnp.asarray(rng.standard_normal((n, f)), jnp.float32)
+
+        def ref(x, g, bl, w, b):
+            mu = x.mean(1, keepdims=True)
+            var = ((x - mu) ** 2).mean(1, keepdims=True)
+            xn = (x - mu) / jnp.sqrt(var + 1e-5) * g + bl
+            return (xn * mask) @ w + b
+
+        def loss_k(*a):
+            return jnp.sum(ln_matmul(*a, mask, 1e-5, 8, True) * gy)
+
+        def loss_r(*a):
+            return jnp.sum(ref(*a) * gy)
+
+        np.testing.assert_allclose(
+            np.asarray(ln_matmul(x, g, bl, w, b, mask, 1e-5, 8, True)),
+            np.asarray(ref(x, g, bl, w, b)), rtol=2e-5, atol=2e-5)
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, g, bl, w, b)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, g, bl, w, b)
+        for a, c in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_no_mask(self):
+        from wenet_celoss_tpu.ops.ffn_pallas import ln_matmul
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((9, 16)), jnp.float32)
+        g = jnp.ones((16,))
+        bl = jnp.zeros((16,))
+        w = jnp.asarray(rng.standard_normal((16, 32)) * 0.1, jnp.float32)
+        b = jnp.zeros((32,))
+        y = ln_matmul(x, g, bl, w, b, None, 1e-5, 8, True)
+        mu = x.mean(1, keepdims=True)
+        var = ((x - mu) ** 2).mean(1, keepdims=True)
+        ref = ((x - mu) / jnp.sqrt(var + 1e-5)) @ w
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)

@@ -48,13 +48,31 @@ class MultiHeadedAttention(nn.Module):
         b, t, _ = x.shape
         return x.reshape(b, t, self.n_head, self.d_k).transpose(0, 2, 1, 3)
 
-    def qkv(self, query, key, value):
+    def _use_ln_mm(self):
+        # Default OFF: measured SLOWER than letting XLA compose LN with
+        # the merged projection at the flagship point (train bench:
+        # off 8344, attn-only 7972, conv-only 8093, both 7812 audio-s/s)
+        # — the pallas_call boundary costs more than the LN round trip
+        # it saves. Kernel + plumbing kept (ops/ffn_pallas.ln_matmul,
+        # parity-tested) for configs where LN bandwidth dominates.
+        import os
+
+        import jax
+        return (jax.default_backend() == "tpu"
+                and os.environ.get("LNMM_PALLAS", "0") in ("1", "attn"))
+
+    def qkv(self, query, key, value, ln=None):
         # Merge aliased projections into one MXU matmul (weights
         # concatenated at apply time — 0.2 MB, grads flow through the
         # concat): q=k=v for self-attention, k=v for cross-attention.
         # Halves-to-thirds the small-matmul dispatch count that dominates
-        # the AED decoder at U≈33.
-        if not self.is_initializing() and query is key and key is value:
+        # the AED decoder at U≈33. With a pre-norm module passed as
+        # ``ln``, the LayerNorm fuses INTO the merged projection (one
+        # Pallas kernel, ops/ffn_pallas.ln_matmul) — removing the
+        # standalone LN read/write pair per direction.
+        import os as _os
+        if (not self.is_initializing() and query is key and key is value
+                and _os.environ.get("QKV_MERGE", "1") == "1"):
             ps = [self.linear_q.variables["params"],
                   self.linear_k.variables["params"],
                   self.linear_v.variables["params"]]
@@ -63,9 +81,20 @@ class MultiHeadedAttention(nn.Module):
             w = jnp.concatenate([p["kernel"] for p in ps],
                                 axis=1).astype(cdt)
             b = jnp.concatenate([p["bias"] for p in ps]).astype(cdt)
-            y = query.astype(cdt) @ w + b
+            bb, t, d = query.shape
+            if ln is not None and self._use_ln_mm():
+                from wenet_celoss_tpu.ops.ffn_pallas import ln_matmul
+                pn = ln.variables["params"]
+                y = ln_matmul(query.reshape(bb * t, d).astype(cdt),
+                              pn["scale"], pn["bias"], w, b,
+                              None).reshape(bb, t, 3 * d)
+            else:
+                xn = ln(query) if ln is not None else query
+                y = xn.astype(cdt) @ w + b
             q, k, v = jnp.split(y, 3, axis=-1)
             return self._split(q), self._split(k), self._split(v)
+        if ln is not None:
+            query = ln(query)
         if not self.is_initializing() and key is value:
             ps = [self.linear_k.variables["params"],
                   self.linear_v.variables["params"]]
@@ -108,8 +137,8 @@ class MultiHeadedAttention(nn.Module):
             x.transpose(0, 2, 1, 3).reshape(b, -1, self.n_feat))
 
     def __call__(self, query, key, value, mask=None, pos_emb=None, *,
-                 deterministic: bool = True):
-        q, k, v = self.qkv(query, key, value)
+                 deterministic: bool = True, ln=None):
+        q, k, v = self.qkv(query, key, value, ln=ln)
         return self._attend(q, k, v, mask, deterministic)
 
     def forward_with_cache(self, query, key, value, cache_kv, cache_len,
@@ -184,14 +213,14 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
             x.transpose(0, 2, 1, 3).reshape(b, -1, self.n_feat))
 
     def __call__(self, query, key, value, mask=None, pos_emb=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, ln=None):
         # NOTE: a fused flash-style rel-pos Pallas kernel was built and
         # measured here; at the flagship operating point (T'=127, dk=64)
         # there is nothing to tile along T and XLA's batched einsums win
         # (7496 vs 6941 audio-s/s), so the kernel was removed (r3; see
         # ROADMAP "attention kernel decision"). Long-context flash would
         # be a different, T-tiled kernel.
-        q, k, v = self.qkv(query, key, value)
+        q, k, v = self.qkv(query, key, value, ln=ln)
         return self._rel_attend(q, k, v, pos_emb, mask, deterministic)
 
     def forward_with_cache(self, query, key, value, cache_kv, cache_len,

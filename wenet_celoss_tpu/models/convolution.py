@@ -51,8 +51,17 @@ class ConvolutionModule(nn.Module):
         y = nn.silu(y)
         return self.pointwise_conv2(y)
 
+    def _use_ln_mm(self):
+        # Default OFF — measured slower than XLA's composition; see the
+        # decision note in models/attention.py _use_ln_mm.
+        import os
+
+        import jax
+        return (jax.default_backend() == "tpu"
+                and os.environ.get("LNMM_PALLAS", "0") in ("1", "conv"))
+
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray | None = None,
-                 *, train: bool = False) -> jnp.ndarray:
+                 *, train: bool = False, ln=None) -> jnp.ndarray:
         """x: [B, T, C]; pad_mask: [B, T] True at valid frames.
 
         Masking matches the reference exactly (`convolution.py:111-145`):
@@ -61,7 +70,42 @@ class ConvolutionModule(nn.Module):
         left-padding happens in the raw domain, the non-causal depthwise
         conv's own window padding is zero in the post-GLU domain, and the
         OUTPUT is re-zeroed at padded frames.
+
+        With a pre-norm module passed as ``ln`` (the conformer layer's
+        norm_conv) the LayerNorm + input masking fuse INTO the
+        pointwise-conv1 projection as one Pallas kernel; the causal
+        left-pad moves to the pointwise-conv1 OUTPUT as bias rows
+        (pointwise_conv1(0) == its bias, so both orders are identical).
         """
+        if (ln is not None and not self.is_initializing()
+                and self._use_ln_mm()):
+            from wenet_celoss_tpu.ops.ffn_pallas import ln_matmul
+            pn = ln.variables["params"]
+            p1 = self.pointwise_conv1.variables["params"]
+            cdt = jnp.dtype(self.dtype) if self.dtype is not None \
+                else x.dtype
+            b, t, c = x.shape
+            bias1 = p1.get("bias", jnp.zeros((2 * c,), jnp.float32))
+            rowmask = None
+            if pad_mask is not None:
+                rowmask = pad_mask.reshape(b * t, 1).astype(jnp.float32)
+            h = ln_matmul(x.reshape(b * t, c).astype(cdt), pn["scale"],
+                          pn["bias"], p1["kernel"].astype(cdt), bias1,
+                          rowmask).reshape(b, t, 2 * c)
+            if self.causal and self.lorder > 0:
+                padrow = jnp.broadcast_to(bias1.astype(h.dtype),
+                                          (b, self.lorder, 2 * c))
+                h = jnp.concatenate([padrow, h], axis=1)
+            h = nn.glu(h, axis=-1)
+            if not self.causal:
+                pad = (self.kernel_size - 1) // 2
+                h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)))
+            y = self._conv_body(h, train=train)
+            if pad_mask is not None:
+                y = jnp.where(pad_mask[..., None], y, 0.0)
+            return y
+        if ln is not None:
+            x = ln(x)
         if pad_mask is not None:
             x = jnp.where(pad_mask[..., None], x, 0.0)
         if self.causal:

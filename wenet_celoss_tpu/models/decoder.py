@@ -61,19 +61,29 @@ class DecoderLayer(nn.Module):
         memory_mask: [B, 1, T] or [B, U, T]."""
         drop = lambda h: self.dropout(h, deterministic=deterministic)
         residual = tgt
-        x = self.norm1(tgt) if self.normalize_before else tgt
-        sa = self.self_attn(x, x, x, tgt_mask, deterministic=deterministic)
-        if self.concat_after:
-            sa = self.concat_linear1(jnp.concatenate([x, sa], axis=-1))
+        if self.normalize_before and not self.concat_after:
+            # Pre-norm fused into the merged QKV projection (ln_matmul).
+            sa = self.self_attn(tgt, tgt, tgt, tgt_mask,
+                                deterministic=deterministic, ln=self.norm1)
+        else:
+            x = self.norm1(tgt) if self.normalize_before else tgt
+            sa = self.self_attn(x, x, x, tgt_mask,
+                                deterministic=deterministic)
+            if self.concat_after:
+                sa = self.concat_linear1(jnp.concatenate([x, sa], axis=-1))
         x = residual + drop(sa)
         if not self.normalize_before:
             x = self.norm1(x)
         residual = x
-        xn = self.norm2(x) if self.normalize_before else x
-        ca = self.src_attn(xn, memory, memory, memory_mask,
-                           deterministic=deterministic)
-        if self.concat_after:
-            ca = self.concat_linear2(jnp.concatenate([xn, ca], axis=-1))
+        if self.normalize_before and not self.concat_after:
+            ca = self.src_attn(x, memory, memory, memory_mask,
+                               deterministic=deterministic, ln=self.norm2)
+        else:
+            xn = self.norm2(x) if self.normalize_before else x
+            ca = self.src_attn(xn, memory, memory, memory_mask,
+                               deterministic=deterministic)
+            if self.concat_after:
+                ca = self.concat_linear2(jnp.concatenate([xn, ca], axis=-1))
         x = residual + drop(ca)
         if not self.normalize_before:
             x = self.norm2(x)

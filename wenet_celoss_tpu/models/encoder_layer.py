@@ -239,9 +239,10 @@ class ConformerEncoderLayer(nn.Module):
                 x, deterministic=deterministic, ln=self.norm_ff_macaron,
                 ff_scale=self.ff_scale, out_rate=self.dropout_rate)
         residual = x
-        xn = self.norm_mha(x)
+        # Pre-norm fused into the merged QKV projection (ln_matmul).
         x = residual + drop(self.self_attn(
-            xn, xn, xn, att_mask, pos_emb, deterministic=deterministic))
+            x, x, x, att_mask, pos_emb, deterministic=deterministic,
+            ln=self.norm_mha))
         if self.use_cnn_module:
             if (not self.is_initializing()
                     and self.cnn_module_norm == "layer_norm"
@@ -252,8 +253,10 @@ class ConformerEncoderLayer(nn.Module):
                 x = self._fused_conv_block(x, pad_mask,
                                            deterministic=deterministic)
             else:
+                # Pre-norm fused into the masked pointwise-conv1
+                # projection inside the module (ln_matmul).
                 x = x + drop(self.conv_module(
-                    self.norm_conv(x), pad_mask, train=train))
+                    x, pad_mask, train=train, ln=self.norm_conv))
         x = self.feed_forward(
             x, deterministic=deterministic, ln=self.norm_ff,
             ff_scale=self.ff_scale, out_rate=self.dropout_rate)

@@ -123,6 +123,8 @@ class RNNPredictor(nn.Module):
         hoisted layer-1 input projection stays outside as one MXU matmul
         (same hoisting as _run_layers)."""
         from wenet_celoss_tpu.ops.lstm_pallas import lstm2_seq
+        from wenet_celoss_tpu.ops.lstm_pallas import fused_rows_for
+        rows = fused_rows_for(x.shape[1], x.shape[0])
         cdt = jnp.bfloat16
         cp1 = self.cells[0].variables["params"]
         cp2 = self.cells[1].variables["params"]
@@ -149,15 +151,18 @@ class RNNPredictor(nn.Module):
         else:
             seed = jnp.zeros((), jnp.int32)
         return lstm2_seq(xw1, wh1.astype(cdt), wi2.astype(cdt), bh2,
-                         wh2.astype(cdt), seed, rate)
+                         wh2.astype(cdt), seed, rate, rows)
 
     def __call__(self, tokens: jnp.ndarray,
                  state: Optional[Dict] = None, *,
                  deterministic: bool = True) -> jnp.ndarray:
         """tokens [B, U] → [B, U, output_size]."""
+        from wenet_celoss_tpu.ops.lstm_pallas import fused_rows_for
         if (state is None and not self.is_initializing()
                 and self.rnn_type == "lstm" and self.num_layers == 2
-                and self.hidden_size % 128 == 0 and _use_lstm_pallas()):
+                and self.hidden_size % 128 == 0 and _use_lstm_pallas()
+                and fused_rows_for(tokens.shape[1], tokens.shape[0])
+                is not None):
             # One-hot matmul embedding: identical values to the gather,
             # but the backward is an MXU matmul (onehot^T dx) instead of
             # a scatter-add (an order of magnitude slower on TPU — same

@@ -238,6 +238,19 @@ def _lstm2_bwd_kernel(seed_ref, xw1_ref, wh1_ref, wi2_ref, bh2_ref,
     jax.lax.fori_loop(0, u, bwd_body, (zf, zf, zf, zf))
 
 
+def fused_rows_for(u: int, batch: int) -> int | None:
+    """Batch-block size keeping the kernel inside its proven VMEM
+    budget (u*rows ≈ 33*64 at the flagship point), or None when the
+    sequence is too long to fuse (callers fall back to the XLA scan —
+    e.g. n-best rescoring feeds beam-expanded batches with U up to the
+    hypothesis cap)."""
+    budget = 33 * 64
+    rows = min(64, (budget // max(u, 1)) // 8 * 8)
+    if rows < 8:
+        return None
+    return rows
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def lstm2_seq(xw1, wh1, wi2, bh2, wh2, seed, rate: float, rows: int = 64,
               interpret: bool = False):
