@@ -872,3 +872,54 @@ class TestWebDemo:
         finally:
             proc.terminate()
             proc.wait(timeout=10)
+
+
+def test_hub_load_model(tmp_path):
+    """Python-binding model hub (parity with the reference's
+    runtime/binding/python/py/hub.py): name/URL/path → cached local model
+    dir, sha256 pinning, traversal-safe extraction."""
+    import hashlib
+    import io
+    import tarfile
+
+    sys.path.insert(0, os.path.join(REPO, "runtime", "binding", "python"))
+    import hub
+
+    bundle_dir = tmp_path / "m"
+    bundle_dir.mkdir()
+    (bundle_dir / "train.yaml").write_text("input_dim: 23\n")
+    (bundle_dir / "units.txt").write_text("<blank> 0\n")
+    archive = tmp_path / "model.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        tar.add(bundle_dir, arcname="m")
+    digest = hashlib.sha256(archive.read_bytes()).hexdigest()
+
+    os.environ["WENET_TPU_HUB_CACHE"] = str(tmp_path / "cache")
+    # file:// URL with sha pin
+    d1 = hub.load_model(f"file://{archive}", sha256=digest)
+    assert os.path.exists(os.path.join(d1, "train.yaml"))
+    # cached: second call returns without re-downloading
+    d2 = hub.load_model(f"file://{archive}")
+    assert d1 == d2
+    # registry name
+    hub.register_model("tiny", f"file://{archive}", sha256=digest)
+    d3 = hub.load_model("tiny")
+    assert os.path.exists(os.path.join(d3, "units.txt"))
+    # wrong sha rejected
+    try:
+        hub.load_model(f"file://{archive}", sha256="0" * 64, force=True)
+        raise AssertionError("sha mismatch not detected")
+    except ValueError:
+        pass
+    # traversal rejected
+    evil = tmp_path / "evil.tar.gz"
+    with tarfile.open(evil, "w:gz") as tar:
+        info = tarfile.TarInfo("../escape.txt")
+        data = b"x"
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+    try:
+        hub.load_model(str(evil), force=True)
+        raise AssertionError("traversal not detected")
+    except ValueError:
+        pass
