@@ -8,6 +8,9 @@ introduces:
   runtime_offline_rtf        decoder_main steady-state RTF (chunked decode,
                              first utterance excluded: it pays the XLA
                              compile-cache load)
+  runtime_rnnt_greedy_rtf    same, over the streaming-transducer serving
+                             path (worker 'G': chunk-by-chunk RNN-T greedy
+                             — the mode a production U2++ deployment runs)
   runtime_worker_chunk_ms    median per-chunk round trip over the framed
                              pipe to the JAX worker ('F' frame → 'O'
                              posteriors), warm
@@ -49,16 +52,23 @@ def _env():
     return dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
 
 
-def make_artifacts(workdir: str):
+def make_artifacts(workdir: str, transducer: bool = False):
     """Train the tiny streaming model (once) + speech-length eval wavs."""
     import pathlib
-    model_dir = os.path.join(workdir, "model")
+    sub = os.path.join(workdir, "transducer") if transducer else workdir
+    # the transducer trainer writes its artifacts under tmodel/
+    model_dir = os.path.join(sub, "tmodel" if transducer else "model")
     done = os.path.join(model_dir, "final.ckpt")
     if not os.path.exists(done):
+        os.makedirs(sub, exist_ok=True)
         sys.path.insert(0, os.path.join(REPO, "tests"))
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        from test_runtime import _train_tiny_streaming_model
-        _train_tiny_streaming_model(pathlib.Path(workdir))
+        if transducer:
+            from test_runtime import _train_tiny_streaming_transducer
+            _train_tiny_streaming_transducer(pathlib.Path(sub))
+        else:
+            from test_runtime import _train_tiny_streaming_model
+            _train_tiny_streaming_model(pathlib.Path(workdir))
     with open(os.path.join(model_dir, "train.yaml")) as f:
         import yaml
         cfg = yaml.safe_load(f)
@@ -92,19 +102,22 @@ def worker_cmd(model_dir, chunk):
             f"--checkpoint {model_dir}/final.ckpt --chunk_size {chunk}")
 
 
-def bench_offline_rtf(build, model_dir, mel, chunk, wavs, workdir):
+def bench_offline_rtf(build, model_dir, mel, chunk, wavs, workdir,
+                      mode=None):
     """decoder_main over a wav scp; steady RTF excludes utterance 0."""
     scp = os.path.join(workdir, "bench.scp")
     with open(scp, "w") as f:
         for i, p in enumerate(wavs):
             f.write(f"utt{i} {p}\n")
+    cmd = [os.path.join(build, "decoder_main"),
+           "--wav_scp", scp,
+           "--symbol_table", os.path.join(model_dir, "units.txt"),
+           "--worker_cmd", worker_cmd(model_dir, chunk),
+           "--chunk_size", str(chunk), "--num_bins", str(mel)]
+    if mode:
+        cmd += ["--mode", mode]
     res = subprocess.run(
-        [os.path.join(build, "decoder_main"),
-         "--wav_scp", scp,
-         "--symbol_table", os.path.join(model_dir, "units.txt"),
-         "--worker_cmd", worker_cmd(model_dir, chunk),
-         "--chunk_size", str(chunk), "--num_bins", str(mel)],
-        capture_output=True, text=True, env=_env(), timeout=900)
+        cmd, capture_output=True, text=True, env=_env(), timeout=900)
     assert res.returncode == 0, res.stdout + res.stderr
     utts = re.findall(r"UTTMS (\S+) (\d+) (\d+)", res.stderr)
     assert len(utts) == len(wavs), res.stderr
@@ -319,6 +332,15 @@ def main():
     records.append({"metric": "runtime_offline_rtf",
                     "value": round(rtf, 4), "unit": "decode-s/audio-s",
                     "first_utt_rtf": round(first_rtf, 4)})
+
+    td_dir, td_mel, td_chunk = make_artifacts(args.workdir,
+                                              transducer=True)
+    rtf_g, first_g = bench_offline_rtf(args.build, td_dir, td_mel,
+                                       td_chunk, wavs, args.workdir,
+                                       mode="rnnt_greedy_search")
+    records.append({"metric": "runtime_rnnt_greedy_rtf",
+                    "value": round(rtf_g, 4), "unit": "decode-s/audio-s",
+                    "first_utt_rtf": round(first_g, 4)})
 
     chunk_ms = bench_worker_chunk(args.build, model_dir, mel, chunk)
     audio_ms_per_chunk = chunk * 4 * 10.0            # subsampling 4, 10 ms
