@@ -400,7 +400,15 @@ bool DecodeFlac(const uint8_t* data, size_t len, FlacAudio* out) {
     }
   }
   if (total_samples) {
-    out->samples.resize(static_cast<size_t>(total_samples) * channels);
+    const size_t expect = static_cast<size_t>(total_samples) * channels;
+    if (out->samples.size() > expect) {
+      out->samples.resize(expect);  // drop trailing padding
+    } else if (out->samples.size() < expect) {
+      // Truncated stream: report failure rather than silently padding
+      // the missing tail with zeros (STREAMINFO promised more samples
+      // than the frames delivered).
+      return false;
+    }
   }
   return true;
 }

@@ -20,7 +20,7 @@ class WavReader {
   void Open(const std::string& filename) {
     FILE* fp = std::fopen(filename.c_str(), "rb");
     if (!fp) throw std::runtime_error("cannot open " + filename);
-    char riff[4], wave[4];
+    char riff[4] = {}, wave[4] = {};
     uint32_t size = 0;
     if (std::fread(riff, 1, 4, fp) != 4 || std::fread(&size, 4, 1, fp) != 1 ||
         std::fread(wave, 1, 4, fp) != 4 || std::memcmp(riff, "RIFF", 4) ||

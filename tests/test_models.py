@@ -105,6 +105,26 @@ class TestEncoders:
             rngs={"dropout": jax.random.PRNGKey(4)})
         assert np.isfinite(np.asarray(out2)).all()
 
+    def test_qkv_merge_ablation_matches(self, monkeypatch):
+        """QKV_MERGE=0 (the documented bisect lever) must compute the
+        same math as the merged default — including rebinding aliased
+        key/value to the pre-norm output when ``ln`` is fused in
+        (ADVICE r4: the fallback previously normalized only query)."""
+        rng = np.random.default_rng(5)
+        enc = ConformerEncoder(
+            input_size=FEAT, output_size=16, attention_heads=2,
+            linear_units=32, num_blocks=2, pos_enc_layer_type="rel_pos",
+            cnn_module_kernel=7, cnn_module_norm="layer_norm")
+        feats, feat_lens, _, _ = make_batch(rng)
+        params = enc.init(jax.random.PRNGKey(0), feats, feat_lens)
+        monkeypatch.setenv("QKV_MERGE", "1")
+        out_merged, _ = enc.apply(params, feats, feat_lens)
+        monkeypatch.setenv("QKV_MERGE", "0")
+        out_split, _ = enc.apply(params, feats, feat_lens)
+        np.testing.assert_allclose(np.asarray(out_split),
+                                   np.asarray(out_merged),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_cmvn_applied(self):
         rng = np.random.default_rng(2)
         mean = tuple(float(x) for x in np.ones(FEAT) * 5.0)
@@ -401,6 +421,44 @@ class TestFusedLSTMPallas:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
+
+    def test_fwd_bwd_bf16_scratch_bound(self):
+        """bf16 inputs make the backward recompute store c1/c2 cell
+        states in bf16 scratch while the forward carry is fp32 — the
+        intentional VMEM tradeoff (ADVICE r4). Bound the resulting
+        fwd/bwd gradient inconsistency against the fp32 reference."""
+        from wenet_celoss_tpu.ops.lstm_pallas import lstm2_seq
+
+        rng = np.random.default_rng(2)
+        B, U, H, E = 4, 7, 256, 256
+        x = jnp.asarray(rng.standard_normal((B, U, E)) * 0.5, jnp.float32)
+        wi1 = jnp.asarray(rng.standard_normal((E, 4 * H)) * 0.05,
+                          jnp.float32)
+        bh1 = jnp.asarray(rng.standard_normal((4 * H,)) * 0.05, jnp.float32)
+        mk = lambda: jnp.asarray(
+            rng.standard_normal((H, 4 * H)) * 0.05, jnp.float32)
+        wh1, wi2, wh2 = mk(), mk(), mk()
+        bh2 = jnp.asarray(rng.standard_normal((4 * H,)) * 0.05, jnp.float32)
+        xw1 = x @ wi1 + bh1
+        seed = jnp.zeros((), jnp.int32)
+        g = jnp.asarray(rng.standard_normal((B, U, H)), jnp.float32)
+        args32 = (xw1, wh1, wi2, bh2, wh2)
+        args16 = tuple(a.astype(jnp.bfloat16) for a in args32)
+
+        def loss_k(*a):
+            return jnp.sum(lstm2_seq(*a, seed, 0.0, 4, True).astype(
+                jnp.float32) * g)
+
+        def loss_r(*a):
+            return jnp.sum(self._ref(*a) * g)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(*args16)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(*args32)
+        for a, b in zip(gk, gr):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+            assert rel < 0.06, rel
 
     def test_predictor_fused_wiring_matches_scan(self, monkeypatch):
         """RNNPredictor with the fused path (interpret, rate=0 via

@@ -94,7 +94,16 @@ class MultiHeadedAttention(nn.Module):
             q, k, v = jnp.split(y, 3, axis=-1)
             return self._split(q), self._split(k), self._split(v)
         if ln is not None:
-            query = ln(query)
+            # Rebind every alias of the pre-norm input, not just query:
+            # with QKV_MERGE=0 (the documented bisect lever) the merged
+            # self-attention branch above is skipped and K/V must still
+            # see the NORMALIZED activations.
+            qn = ln(query)
+            if key is query:
+                key = qn
+            if value is query:
+                value = qn
+            query = qn
         if not self.is_initializing() and key is value:
             ps = [self.linear_k.variables["params"],
                   self.linear_v.variables["params"]]
