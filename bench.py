@@ -52,20 +52,59 @@ def _vs_baseline(value: float, key: str = "value") -> float:
     return 1.0
 
 
-def _median_rate(fn, audio_s, iters, windows):
-    """Median audio-s/s over probe-synced windows. fn() must force real
-    completion (host materialisation) — block_until_ready is unreliable
-    on the axon platform."""
-    fn()  # warmup/compile
+# The axon tunnel platform throws transient transport errors
+# (`remote_compile: read body: response body closed`, UNAVAILABLE, …); one
+# such flake during warmup cost round 4 its entire perf record
+# (BENCH_r04.json rc=1). Every compile/timing section is wrapped in a
+# bounded retry, and the record is emitted incrementally (train headline
+# first) so a late crash cannot erase what already succeeded.
+_TRANSIENT_MARKERS = (
+    "transport", "read body", "remote_compile", "unavailable", "deadline",
+    "connection", "socket", "cancelled", "body closed", "internal: ")
+
+
+def _is_transient(e) -> bool:
+    name = type(e).__name__
+    if name in ("XlaRuntimeError", "JaxRuntimeError"):
+        return True
+    s = f"{type(e).__name__}: {e}".lower()
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def _retry(fn, attempts=3, desc="bench section", is_transient=None,
+           sleep=time.sleep):
+    """Run fn(), retrying up to `attempts` total tries on transient
+    platform failures. Non-transient exceptions propagate immediately."""
+    check = is_transient or _is_transient
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if i == attempts - 1 or not check(e):
+                raise
+            print(f"{desc}: transient failure (attempt {i + 1}/"
+                  f"{attempts}): {e!r}; retrying", file=sys.stderr)
+            sleep(2.0 * (i + 1))
+
+
+def _rate_stats(fn, audio_s, iters, windows):
+    """{median, min, max} audio-s/s over probe-synced windows. fn() must
+    force real completion (host materialisation) — block_until_ready is
+    unreliable on the axon platform. The spread makes axon-tunnel noise
+    (±20% run-to-run) visible in the recorded artifact."""
+    _retry(fn, desc="decode warmup")  # warmup/compile
     rates = []
     for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            fn()
-        dt = time.perf_counter() - t0
+        def _window():
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            return time.perf_counter() - t0
+        dt = _retry(_window, desc="decode window")
         rates.append(audio_s * iters / dt)
     rates.sort()
-    return rates[len(rates) // 2]
+    return {"median": rates[len(rates) // 2],
+            "min": rates[0], "max": rates[-1]}
 
 
 def bench_decode(emit=print):
@@ -116,9 +155,11 @@ def bench_decode(emit=print):
     dec = Decoder(model, variables)
 
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    windows = int(os.environ.get("BENCH_DECODE_WINDOWS",
+                                 os.environ.get("BENCH_WINDOWS", "5")))
     audio_s = b * t * 0.01
     results = {}
+    spreads = {}
 
     # Per-mode wall budget: a cold decode compile on the axon tunnel can
     # take tens of minutes; the driver must still get the train record.
@@ -137,7 +178,7 @@ def bench_decode(emit=print):
         try:
             # hyps come back as host lists — the conversion IS the sync
             # point.
-            value = _median_rate(fn, audio_s, iters, windows)
+            stats = _rate_stats(fn, audio_s, iters, windows)
         except TimeoutError:
             print(f"decode bench {mode}: exceeded {budget}s budget "
                   f"(cold compile); skipped", file=sys.stderr)
@@ -148,11 +189,14 @@ def bench_decode(emit=print):
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+        value = stats["median"]
         results[mode] = round(value, 2)
+        spreads[mode] = [round(stats["min"], 2), round(stats["max"], 2)]
         emit(json.dumps({
             "metric": f"decode_throughput_{mode}",
             "value": round(value, 2),
             "unit": "audio-seconds/s/chip",
+            "spread": spreads[mode],
             "vs_baseline": round(
                 _vs_baseline(value, key=f"decode_{mode}"), 3),
         }))
@@ -203,7 +247,7 @@ def bench_decode(emit=print):
         lambda: dec_s.ctc_greedy_search(
             feats, lens, simulate_streaming=True, decoding_chunk_size=16,
             num_decoding_left_chunks=4))
-    return results
+    return results, spreads
 
 
 def bench_train(emit=print, decode_results=None):
@@ -271,10 +315,16 @@ def bench_train(emit=print, decode_results=None):
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         return float(m["loss"]) + float(jnp.sum(jnp.abs(leaf)))
 
-    # Warmup/compile (incl. the sync probe's reduction).
+    # Warmup/compile (incl. the sync probe's reduction). A transient
+    # axon transport flake here cost round 4 its record — bounded retry.
     key = jax.random.PRNGKey(1)
-    state, m = step(state, key)
-    sync(state, m)
+
+    def _warmup():
+        s2, m2 = step(state, key)
+        sync(s2, m2)
+        return s2, m2
+
+    state, m = _retry(_warmup, desc="train warmup/compile")
 
     # XLA's own FLOP count of the compiled step — kept only as the
     # comparison figure (it is blind to Pallas custom calls).
@@ -300,12 +350,15 @@ def bench_train(emit=print, decode_results=None):
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     rates = []
     for _ in range(windows):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            key, sub = jax.random.split(key)
-            state, m = step(state, sub)
-        sync(state, m)
-        dt = time.perf_counter() - t0
+        def _window():
+            nonlocal state, m, key
+            t0 = time.perf_counter()
+            for i in range(iters):
+                key, sub = jax.random.split(key)
+                state, m = step(state, sub)
+            sync(state, m)
+            return time.perf_counter() - t0
+        dt = _retry(_window, desc="train timing window")
         rates.append(b * t * 0.01 * iters / dt)
     rates.sort()
     value = rates[len(rates) // 2]
@@ -314,6 +367,7 @@ def bench_train(emit=print, decode_results=None):
         "metric": "train_throughput_conformer_rnnt_bias",
         "value": round(value, 2),
         "unit": "audio-seconds/s/chip",
+        "spread": [round(rates[0], 2), round(rates[-1], 2)],
         "vs_baseline": round(_vs_baseline(value), 3),
     }
     steps_per_s = value / (b * t * 0.01)
@@ -333,27 +387,47 @@ def bench_train(emit=print, decode_results=None):
 def main():
     if "--decode" in sys.argv:
         bench_decode()
-        return
+        return 0
     if "--train-only" in sys.argv:
         bench_train()
-        return
+        return 0
     # TRAIN FIRST: the headline number is measured on a fresh device
     # state — the decode benches' compiles/allocations must not sit
     # between process start and the train timing windows (r1→r3 the
     # driver-captured train number drifted below the tuned point after
-    # decode was folded in front of it). Decode numbers are then merged
-    # into the single one-line record the driver captures.
-    rec = bench_train(emit=None)
-    decode_results = None
+    # decode was folded in front of it).
+    #
+    # The record is emitted INCREMENTALLY: the train headline line is
+    # printed (and flushed) the moment it exists, then decode keys are
+    # merged into a final combined line. A crash or transport flake
+    # during the decode benches can therefore no longer erase the train
+    # number from the round's artifact (the r4 failure mode), and the
+    # process exits 0 whenever at least one record line was emitted.
+    rec = None
     try:
-        decode_results = bench_decode(emit=lambda s: None)
+        rec = bench_train(emit=None)
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        print(f"train bench failed: {e!r}", file=sys.stderr)
+    decode = None
+    try:
+        decode = bench_decode(emit=lambda s: None)
     except Exception as e:
         print(f"decode bench failed: {e!r}", file=sys.stderr)
-    if decode_results:
-        for k, val in decode_results.items():
+    if decode:
+        results, spreads = decode
+        if rec is None:
+            rec = {"metric": "train_throughput_conformer_rnnt_bias",
+                   "value": None, "unit": "audio-seconds/s/chip",
+                   "error": "train bench failed; decode keys only"}
+        for k, val in results.items():
             rec[f"decode_{k}"] = val
-    print(json.dumps(rec))
+        for k, mm in spreads.items():
+            rec[f"decode_{k}_spread"] = mm
+        print(json.dumps(rec), flush=True)
+    return 0 if (rec is not None and rec.get("value") is not None
+                 or decode) else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
