@@ -384,7 +384,184 @@ def bench_train(emit=print, decode_results=None):
     return rec
 
 
+def _e2e_corpus(root, n_utts, vocab_words=1000, seed=7):
+    """Cached synthetic wav corpus at the flagship operating point:
+    utterance lengths chosen so 0.9×-speed perturbation still fits the
+    T=512 frame bucket, transcripts over a vocab that fits the bench
+    model's 1024-entry output. Returns (list_path, symbol_table)."""
+    import numpy as _np
+    from wenet_celoss_tpu.data.wav import write_wav
+    root = os.path.join(root, str(n_utts))  # size-keyed cache dir
+    marker = os.path.join(root, ".done")
+    list_path = os.path.join(root, "data.list")
+    symbol_table = {"<blank>": 0, "<unk>": 1}
+    for i in range(vocab_words):
+        symbol_table[f"▁W{i:03d}"] = i + 2
+    symbol_table["<sos/eos>"] = len(symbol_table)
+    if os.path.exists(marker):
+        return list_path, symbol_table
+    os.makedirs(os.path.join(root, "wavs"), exist_ok=True)
+    rng = _np.random.default_rng(seed)
+    with open(list_path, "w") as f:
+        for i in range(n_utts):
+            dur = float(rng.uniform(4.2, 4.6))
+            n = int(dur * 16000)
+            wav = (rng.standard_normal(n) * 3000).astype(_np.int16) \
+                .astype(_np.float32)
+            path = os.path.join(root, "wavs", f"u{i:05d}.wav")
+            write_wav(path, wav, 16000)
+            words = rng.integers(0, vocab_words, max(3, int(dur * 2.5)))
+            txt = " ".join(f"W{j:03d}" for j in words)
+            f.write(json.dumps({"key": f"u{i:05d}", "wav": path,
+                                "txt": txt}) + "\n")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return list_path, symbol_table
+
+
+def bench_train_e2e(emit=print, n_batches=6):
+    """Sustained train throughput with the REAL host input pipeline
+    feeding the REAL train step — wav read → tokenize → speed perturb →
+    dithered fbank → spec_aug → shuffle/sort → static batch → pad/bucket
+    (+ mode-1 hotword synthesis) running in sharded loader processes
+    (data/loader.py) while the chip trains. Shapes match bench_train's
+    tuned point (B=256, T=512 bucket, U=32 bucket, 8×4 context) so the
+    train-step compile is shared. The number is host-bound whenever
+    pipeline throughput × cores < chip consumption; host cpu count is
+    recorded beside it."""
+    from wenet_celoss_tpu.configs import conformer_rnnt_bias
+    from wenet_celoss_tpu.data.loader import MultiProcessLoader
+    from wenet_celoss_tpu.models.factory import init_model
+    from wenet_celoss_tpu.parallel import train as T
+    from wenet_celoss_tpu.utils.platform import (configure_tpu_runtime,
+                                                 enable_compilation_cache)
+
+    configure_tpu_runtime()
+    enable_compilation_cache()
+    b = int(os.environ.get("BENCH_BATCH", "256"))
+    n_utts = b * (n_batches + 1)  # +1 warmup/compile batch
+    root = os.environ.get("BENCH_E2E_DIR", "/tmp/wenet_e2e_corpus")
+    list_path, symbol_table = _e2e_corpus(root, n_utts)
+
+    ncpu = os.cpu_count() or 1
+    conf = {
+        "filter_conf": {"max_length": 40960, "min_length": 10,
+                        "token_max_length": 200, "token_min_length": 1},
+        "resample_conf": {"resample_rate": 16000},
+        "speed_perturb": True,
+        "fbank_conf": {"num_mel_bins": 80, "frame_shift": 10,
+                       "frame_length": 25, "dither": 0.1},
+        "spec_aug": True,
+        "spec_aug_conf": {"num_t_mask": 2, "num_f_mask": 2, "max_t": 50,
+                          "max_f": 10},
+        "shuffle": True, "shuffle_conf": {"shuffle_size": 1500},
+        "sort": True, "sort_conf": {"sort_size": 500},
+        "batch_conf": {"batch_type": "static", "batch_size": b},
+        "feat_buckets": [512], "label_buckets": [32],
+        "context_mode": 1,
+        "pad_conf": {"context_len_min": 1, "context_len_max": 3,
+                     "max_phrases": 8, "phrase_len": 4},
+        "split_with_space": True,
+    }
+    cfg = conformer_rnnt_bias(tiny=os.environ.get("BENCH_TINY") == "1",
+                              vocab_size=1024)
+    cfg["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = init_model(cfg)
+    t_frames, u_lab = 512, 32
+
+    # Warm up / compile on a SYNTHETIC batch with the pipeline's exact
+    # output shapes, BEFORE the loader exists: if the pipeline ran
+    # during the compile wait it would pre-process the whole corpus into
+    # its shuffle/sort buffers and the "timed" phase would only measure
+    # the chip draining host work done off the clock. Shapes match
+    # bench_train's tuned point, so the step compile is shared with it.
+    rng = np.random.default_rng(0)
+    v = cfg["output_dim"]
+    syn = {
+        "feats": jnp.asarray(rng.standard_normal((b, t_frames, 80)),
+                             jnp.float32),
+        "feat_lengths": jnp.full((b,), t_frames, jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, v - 2, (b, u_lab)),
+                              jnp.int32),
+        "label_lengths": jnp.full((b,), u_lab, jnp.int32),
+        "context_list": jnp.asarray(rng.integers(1, v - 2, (8, 4)),
+                                    jnp.int32),
+        "context_lengths": jnp.full((8,), 4, jnp.int32),
+        "hw_labels": jnp.asarray(rng.integers(0, 2, (b, u_lab)),
+                                 jnp.int32),
+    }
+    args = (syn["feats"], syn["feat_lengths"], syn["labels"],
+            syn["label_lengths"], syn["context_list"],
+            syn["context_lengths"], syn["hw_labels"])
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    tx, _ = T.make_optimizer(cfg)
+    state = T.create_train_state(model, variables, tx)
+    train_step = T.make_train_step(model, tx)
+
+    def _warm():
+        # NB: the train step donates the state buffers — the warmup's
+        # output state must replace the input or later steps read
+        # deleted buffers (the device errors surface as INVALID_ARGUMENT
+        # on the next host→device transfer).
+        s2, m2, _ = train_step(state, syn, jax.random.PRNGKey(1))
+        leaf = jax.tree_util.tree_leaves(s2.params)[0]
+        _ = float(m2["loss"]) + float(jnp.sum(jnp.abs(leaf)))
+        return s2
+    state = _retry(_warm, desc="e2e warmup/compile")
+
+    # Timed phase: the ENTIRE pipeline pass (loader spawn excluded via
+    # the ready handshake) feeding real steps. Buffer fill happens
+    # inside the window, so sustained throughput = min(host, chip) up
+    # to tail effects.
+    loader = MultiProcessLoader("raw", list_path, symbol_table, conf,
+                                partition=False,
+                                num_workers=max(ncpu, 1))
+    key = jax.random.PRNGKey(3)
+    audio_s = 0.0
+    steps = 0
+    m = None
+    t0 = time.perf_counter()
+    for batch in loader:
+        if batch["feats"].shape != (b, t_frames, 80) or \
+                batch["labels"].shape[1] != u_lab:
+            continue  # off-bucket batch would retrace the step
+        dev_batch = {
+            "feats": jnp.asarray(batch["feats"]),
+            "feat_lengths": jnp.asarray(batch["feat_lengths"]),
+            "labels": jnp.asarray(batch["labels"]),
+            "label_lengths": jnp.asarray(batch["label_lengths"]),
+            "context_list": jnp.asarray(batch["context_list"]),
+            "context_lengths": jnp.asarray(batch["context_lengths"]),
+            "hw_labels": jnp.asarray(batch["hw_labels"]),
+        }
+        key, sub = jax.random.split(key)
+        state, m, _ = train_step(state, dev_batch, sub)
+        audio_s += float(np.sum(batch["feat_lengths"])) * 0.01
+        steps += 1
+    if steps == 0:
+        raise RuntimeError("e2e bench produced no full batches")
+    # Force completion of the final step (axon block_until_ready can
+    # return early; a host read of updated params cannot).
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    _ = float(m["loss"]) + float(jnp.sum(jnp.abs(leaf)))
+    dt = time.perf_counter() - t0 - getattr(loader, "startup_s", 0.0)
+    rec = {
+        "metric": "train_e2e_throughput",
+        "value": round(audio_s / dt, 2),
+        "unit": "audio-seconds/s",
+        "host_cpus": ncpu,
+        "steps": steps,
+        "loader_startup_s": round(getattr(loader, "startup_s", 0.0), 2),
+    }
+    if emit is not None:
+        emit(json.dumps(rec))
+    return rec
+
+
 def main():
+    if "--e2e" in sys.argv:
+        bench_train_e2e()
+        return 0
     if "--decode" in sys.argv:
         bench_decode()
         return 0
@@ -425,6 +602,25 @@ def main():
         for k, mm in spreads.items():
             rec[f"decode_{k}_spread"] = mm
         print(json.dumps(rec), flush=True)
+    # Sustained train-from-real-pipeline number (host chain feeding the
+    # chip; host-bound on small hosts — host_cpus recorded beside it).
+    if rec is not None and os.environ.get("BENCH_SKIP_E2E") != "1":
+        import signal
+
+        def _t(signum, frame):
+            raise TimeoutError("e2e")
+        old = signal.signal(signal.SIGALRM, _t)
+        signal.alarm(int(os.environ.get("BENCH_E2E_BUDGET", "1500")))
+        try:
+            e2e = bench_train_e2e(emit=None)
+            rec["train_e2e"] = e2e["value"]
+            rec["train_e2e_host_cpus"] = e2e["host_cpus"]
+            print(json.dumps(rec), flush=True)
+        except Exception as e:
+            print(f"e2e bench failed: {e!r}", file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
     return 0 if (rec is not None and rec.get("value") is not None
                  or decode) else 1
 

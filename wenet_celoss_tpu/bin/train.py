@@ -95,9 +95,16 @@ def main():
     if bc.get("batch_type", "static") == "dynamic":
         bc["round_to"] = data_parallel
 
-    train_dataset = Dataset(args.data_type, args.train_data, symbol_table,
-                            train_conf, args.bpe_model, non_lang_syms,
-                            True, rank, world_size)
+    # dataset_conf.loader_processes > 0 runs the full chain in that many
+    # spawned processes, each over a disjoint list shard (the reference's
+    # DataLoader-worker parallelism; data/loader.py).
+    from wenet_celoss_tpu.data.loader import make_loader
+    train_dataset = make_loader(args.data_type, args.train_data,
+                                symbol_table, train_conf,
+                                bpe_model=args.bpe_model,
+                                non_lang_syms=non_lang_syms,
+                                partition=True, rank=rank,
+                                world_size=world_size)
     cv_dataset = Dataset(args.data_type, args.cv_data, symbol_table,
                          cv_conf, args.bpe_model, non_lang_syms,
                          partition=False)

@@ -72,8 +72,13 @@ class Dataset:
         sp_speeds = conf.get("speed_perturb_conf", {}).get(
             "speeds", [0.9, 1.0, 1.1])
         import os as _os
+        # Featurize threads only pay off when cores remain for the
+        # GIL-held stages (read/tokenize/augment/batch/pad run in the
+        # main thread): on a ≤2-core host the pool measurably LOSES to
+        # serial (tools/bench_pipeline.py), so default it off there.
+        ncpu = _os.cpu_count() or 1
         num_workers = conf.get("num_workers",
-                               min(8, _os.cpu_count() or 1))
+                               0 if ncpu <= 2 else min(8, ncpu - 1))
         if num_workers > 0:
             # Ordered thread map over the heavy numeric stages
             # (speed-perturb resample + fbank FFT/mel — numpy releases

@@ -162,9 +162,15 @@ def _linear_resample(wav: np.ndarray, src_rate: float,
     if src_rate == dst_rate:
         return wav
     n_out = int(round(len(wav) * dst_rate / src_rate))
-    x_old = np.arange(len(wav), dtype=np.float64)
-    x_new = np.arange(n_out, dtype=np.float64) * (src_rate / dst_rate)
-    return np.interp(x_new, x_old, wav).astype(np.float32)
+    # Uniform-grid lerp done directly (floor + gather + blend) instead of
+    # np.interp, whose per-point searchsorted costs ~4 ms on a 12 s wav.
+    pos = np.arange(n_out, dtype=np.float64) * (src_rate / dst_rate)
+    i = pos.astype(np.int64)
+    np.minimum(i, len(wav) - 1, out=i)
+    j = np.minimum(i + 1, len(wav) - 1)
+    frac = (pos - i).astype(np.float32)
+    wav = np.asarray(wav, np.float32)
+    return wav[i] + frac * (wav[j] - wav[i])
 
 
 def resample(data: Iterable[Dict], resample_rate: int = 16000
@@ -510,25 +516,38 @@ def padding(data: Iterable[List[Dict]], *,
 
 
 def parallel_map(data: Iterable[Dict], fn, num_workers: int = 4,
-                 lookahead: int = 16) -> Iterator[Dict]:
+                 lookahead: int = 16, chunk: int = 8) -> Iterator[Dict]:
     """Order-preserving thread-pool map over a 1:1 pipeline stage.
 
     The reference parallelizes the whole chain with DataLoader worker
     subprocesses (`wenet/bin/train.py` DataLoader num_workers/
     prefetch_factor); here the expensive numeric stages (fbank: FFT +
     mel matmul) release the GIL in numpy, so an in-process thread pool
-    gives real speedup without pickling/subprocess costs.
+    gives real speedup without pickling/subprocess costs. Samples are
+    submitted in chunks: with the r5 fast fbank each sample is only a
+    few ms of (mostly GIL-free) numpy, and per-sample futures spent
+    more time in GIL'd scheduling glue than in work. For full-chain
+    process parallelism see data/loader.py (MultiProcessLoader).
     """
     from concurrent.futures import ThreadPoolExecutor
     from collections import deque
+    from itertools import islice
+
+    def run_chunk(items):
+        return [fn(it) for it in items]
+
+    it = iter(data)
     with ThreadPoolExecutor(num_workers) as ex:
         pending: deque = deque()
-        for item in data:
-            pending.append(ex.submit(fn, item))
-            if len(pending) >= lookahead:
-                yield pending.popleft().result()
+        while True:
+            items = list(islice(it, chunk))
+            if not items:
+                break
+            pending.append(ex.submit(run_chunk, items))
+            if len(pending) >= max(2, lookahead // chunk):
+                yield from pending.popleft().result()
         while pending:
-            yield pending.popleft().result()
+            yield from pending.popleft().result()
 
 
 def fbank_one(sample: Dict, num_mel_bins: int = 23, frame_length: int = 25,
