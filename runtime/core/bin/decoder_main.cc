@@ -161,6 +161,13 @@ int main(int argc, char** argv) {
     // separate first-utterance compile cost from steady-state RTF.
     std::fprintf(stderr, "UTTMS %s %d %.0f\n", kv.first.c_str(), decode_ms,
                  audio_ms);
+    // Per-stage attribution: feature-read wait, worker encoder forward,
+    // host search, finalize/rescoring (see AsrDecoder::StageTimes).
+    const auto& st = decoder.stage_times();
+    std::fprintf(stderr,
+                 "UTTSTAGE %s feat %.1f enc %.1f search %.1f resc %.1f\n",
+                 kv.first.c_str(), st.feat_ms, st.encoder_ms,
+                 st.search_ms, st.rescore_ms);
     std::string text = decoder.DecodedSomething()
                            ? decoder.result()[0].sentence
                            : "";

@@ -1,6 +1,7 @@
 #include "decoder/asr_decoder.h"
 
 #include <algorithm>
+#include <chrono>
 #include <utility>
 
 namespace wenet_tpu {
@@ -14,6 +15,14 @@ AsrDecoder::AsrDecoder(std::shared_ptr<FeaturePipeline> feature_pipeline,
       ctc_endpointer_(opts.ctc_endpoint_config) {
   model_->set_chunk_size(opts_.chunk_size);
   model_->set_num_left_chunks(opts_.num_left_chunks);
+  // A new decoder must start from fresh model state. The reference
+  // guarantees this with a model COPY per decoder
+  // (torch_asr_model.cc:79-104); the subprocess engine is shared, so
+  // reset its stream here — without this, consecutive utterances in
+  // decoder_main leaked encoder state across utterances (and the
+  // growing rescoring memory forced a fresh XLA compile per utterance:
+  // the 0.59-RTF mystery in the r5 stage attribution).
+  model_->Reset();
   if (opts_.search_type == SearchType::kRnntGreedySearch) {
     searcher_.reset(new RnntGreedySearch());
   } else if (opts_.search_type == SearchType::kRnntPrefixBeamSearch) {
@@ -52,16 +61,24 @@ void AsrDecoder::ResetContinuousDecoding() {
 DecodeState AsrDecoder::Decode() { return AdvanceDecoding(); }
 
 DecodeState AsrDecoder::AdvanceDecoding() {
+  using clock = std::chrono::steady_clock;
+  auto ms_since = [](clock::time_point t0) {
+    return std::chrono::duration<double, std::milli>(clock::now() - t0)
+        .count();
+  };
   DecodeState state = DecodeState::kEndBatch;
   const int num_required_frames = model_->num_frames_for_chunk(!start_);
   std::vector<std::vector<float>> chunk_feats;
+  auto t0 = clock::now();
   bool has_more =
       feature_pipeline_->Read(num_required_frames, &chunk_feats);
+  stage_times_.feat_ms += ms_since(t0);
   if (!has_more) state = DecodeState::kEndFeats;
   num_frames_ += static_cast<int>(chunk_feats.size());
 
   if (!chunk_feats.empty() || state == DecodeState::kEndFeats) {
     std::vector<std::vector<float>> ctc_log_probs;
+    t0 = clock::now();
     model_->ForwardEncoderChunk(chunk_feats, &ctc_log_probs);
     if (state == DecodeState::kEndFeats) {
       // Flush the model's internal window buffer (tail frames).
@@ -70,6 +87,8 @@ DecodeState AsrDecoder::AdvanceDecoding() {
       ctc_log_probs.insert(ctc_log_probs.end(), tail_probs.begin(),
                            tail_probs.end());
     }
+    stage_times_.encoder_ms += ms_since(t0);
+    t0 = clock::now();
     if (opts_.search_type == SearchType::kRnntGreedySearch ||
         opts_.search_type == SearchType::kRnntPrefixBeamSearch) {
       // Streaming partials come from the incremental greedy decode; the
@@ -81,6 +100,7 @@ DecodeState AsrDecoder::AdvanceDecoding() {
     } else {
       searcher_->Search(ctc_log_probs);
     }
+    stage_times_.search_ms += ms_since(t0);
     UpdateResult(false);
     if (state != DecodeState::kEndFeats && !ctc_log_probs.empty() &&
         ctc_endpointer_.IsEndpoint(ctc_log_probs, DecodedSomething())) {
@@ -126,6 +146,16 @@ void AsrDecoder::UpdateResult(bool finish) {
 }
 
 void AsrDecoder::Rescoring() {
+  auto t0 = std::chrono::steady_clock::now();
+  struct Acc {  // accumulate on every exit path
+    std::chrono::steady_clock::time_point t0;
+    double* dst;
+    ~Acc() {
+      *dst += std::chrono::duration<double, std::milli>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+    }
+  } acc{t0, &stage_times_.rescore_ms};
   searcher_->FinalizeSearch();
   if (opts_.search_type == SearchType::kRnntPrefixBeamSearch) {
     // Utterance-final transducer beam (JAX batched search in the worker)

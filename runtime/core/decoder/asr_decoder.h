@@ -90,6 +90,18 @@ class AsrDecoder {
     return !result_.empty() && !result_[0].sentence.empty();
   }
   const std::vector<DecodeResult>& result() const { return result_; }
+
+  // Cumulative per-stage wall time, for RTF attribution (the reference
+  // logs a forward/search split per chunk, asr_decoder.cc:113-133; this
+  // accumulates the whole utterance so decoder_main can emit one
+  // machine-parsable UTTSTAGE line).
+  struct StageTimes {
+    double feat_ms = 0;      // FeaturePipeline::Read wait
+    double encoder_ms = 0;   // model ForwardEncoderChunk (+tail flush)
+    double search_ms = 0;    // host search update (incl. greedy chunk)
+    double rescore_ms = 0;   // finalize: beam finalize + rescoring fwd
+  };
+  const StageTimes& stage_times() const { return stage_times_; }
   int frame_shift_in_ms() const {
     return model_->subsampling_rate() *
            feature_pipeline_->config().frame_shift * 1000 /
@@ -108,6 +120,7 @@ class AsrDecoder {
   CtcEndpoint ctc_endpointer_;
   std::unique_ptr<SearchInterface> searcher_;
   std::vector<DecodeResult> result_;
+  StageTimes stage_times_;
   int num_frames_ = 0;
   int global_frame_offset_ = 0;
   bool start_ = false;

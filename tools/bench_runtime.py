@@ -48,8 +48,17 @@ SEG = 3200          # 0.2 s per token (matches the tiny-model trainer)
 FREQS = {1: 400.0, 2: 1000.0, 3: 2400.0}
 
 
-def _env():
-    return dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+def _env(tpu: bool = False):
+    """Serving env: CPU JAX worker by default; tpu=True leaves the
+    platform alone so the worker runs on the real chip (axon) — the
+    production serving configuration (SURVEY §2.6: model inference
+    engine as the serving-side native component)."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    if tpu:
+        env.pop("JAX_PLATFORMS", None)
+    else:
+        env["JAX_PLATFORMS"] = "cpu"
+    return env
 
 
 def make_artifacts(workdir: str, transducer: bool = False):
@@ -103,7 +112,7 @@ def worker_cmd(model_dir, chunk):
 
 
 def bench_offline_rtf(build, model_dir, mel, chunk, wavs, workdir,
-                      mode=None):
+                      mode=None, tpu=False):
     """decoder_main over a wav scp; steady RTF excludes utterance 0."""
     scp = os.path.join(workdir, "bench.scp")
     with open(scp, "w") as f:
@@ -117,7 +126,8 @@ def bench_offline_rtf(build, model_dir, mel, chunk, wavs, workdir,
     if mode:
         cmd += ["--mode", mode]
     res = subprocess.run(
-        cmd, capture_output=True, text=True, env=_env(), timeout=900)
+        cmd, capture_output=True, text=True, env=_env(tpu),
+        timeout=3600 if tpu else 900)
     assert res.returncode == 0, res.stdout + res.stderr
     utts = re.findall(r"UTTMS (\S+) (\d+) (\d+)", res.stderr)
     assert len(utts) == len(wavs), res.stderr
@@ -125,7 +135,24 @@ def bench_offline_rtf(build, model_dir, mel, chunk, wavs, workdir,
     dec = sum(int(u[1]) for u in steady)
     aud = sum(int(u[2]) for u in steady)
     first_rtf = int(utts[0][1]) / int(utts[0][2])
-    return dec / aud, first_rtf
+    # Per-stage attribution (AsrDecoder::StageTimes via UTTSTAGE lines):
+    # mean ms per steady utterance for feature wait / worker encoder
+    # forward / host search / finalize+rescoring.
+    st = re.findall(
+        r"UTTSTAGE (\S+) feat ([\d.]+) enc ([\d.]+) search ([\d.]+) "
+        r"resc ([\d.]+)", res.stderr)
+    stages = None
+    if len(st) == len(utts) and steady:
+        sk = st[1:] if len(st) > 1 else st
+        n = len(sk)
+        stages = {
+            "feat_ms": round(sum(float(u[1]) for u in sk) / n, 1),
+            "encoder_ms": round(sum(float(u[2]) for u in sk) / n, 1),
+            "search_ms": round(sum(float(u[3]) for u in sk) / n, 1),
+            "rescore_ms": round(sum(float(u[4]) for u in sk) / n, 1),
+            "audio_ms": round(aud / n, 0),
+        }
+    return dec / aud, first_rtf, stages
 
 
 def bench_worker_chunk(build, model_dir, mel, chunk, iters=60):
@@ -320,6 +347,9 @@ def main():
     ap.add_argument("--n_wavs", type=int, default=4)
     ap.add_argument("--json", default=None,
                     help="also append JSON records to this file")
+    ap.add_argument("--tpu", action="store_true",
+                    help="also bench the serving stack with the JAX "
+                         "worker on the real TPU chip")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -327,26 +357,53 @@ def main():
     wavs = make_wavs(args.workdir, args.n_wavs)
 
     records = []
-    rtf, first_rtf = bench_offline_rtf(args.build, model_dir, mel, chunk,
-                                       wavs, args.workdir)
+    rtf, first_rtf, stages = bench_offline_rtf(args.build, model_dir, mel,
+                                               chunk, wavs, args.workdir)
     records.append({"metric": "runtime_offline_rtf",
                     "value": round(rtf, 4), "unit": "decode-s/audio-s",
-                    "first_utt_rtf": round(first_rtf, 4)})
+                    "first_utt_rtf": round(first_rtf, 4),
+                    "stages": stages})
 
     td_dir, td_mel, td_chunk = make_artifacts(args.workdir,
                                               transducer=True)
-    rtf_g, first_g = bench_offline_rtf(args.build, td_dir, td_mel,
-                                       td_chunk, wavs, args.workdir,
-                                       mode="rnnt_greedy_search")
+    rtf_g, first_g, stages_g = bench_offline_rtf(
+        args.build, td_dir, td_mel, td_chunk, wavs, args.workdir,
+        mode="rnnt_greedy_search")
     records.append({"metric": "runtime_rnnt_greedy_rtf",
                     "value": round(rtf_g, 4), "unit": "decode-s/audio-s",
-                    "first_utt_rtf": round(first_g, 4)})
+                    "first_utt_rtf": round(first_g, 4),
+                    "stages": stages_g})
 
     chunk_ms = bench_worker_chunk(args.build, model_dir, mel, chunk)
     audio_ms_per_chunk = chunk * 4 * 10.0            # subsampling 4, 10 ms
     records.append({"metric": "runtime_worker_chunk_ms",
                     "value": round(chunk_ms, 2), "unit": "ms/chunk",
                     "audio_ms_per_chunk": audio_ms_per_chunk})
+
+    if args.tpu:
+        # Production configuration: the SAME serving stack with the JAX
+        # worker on the real chip (persistent compile cache; first
+        # utterance carries any residual compile, steady RTF excludes
+        # it). Records land beside the CPU figures.
+        try:
+            rtf_t, first_t, st_t = bench_offline_rtf(
+                args.build, model_dir, mel, chunk, wavs, args.workdir,
+                tpu=True)
+            records.append({"metric": "runtime_offline_rtf_tpu",
+                            "value": round(rtf_t, 4),
+                            "unit": "decode-s/audio-s",
+                            "first_utt_rtf": round(first_t, 4),
+                            "stages": st_t})
+            rtf_gt, first_gt, st_gt = bench_offline_rtf(
+                args.build, td_dir, td_mel, td_chunk, wavs,
+                args.workdir, mode="rnnt_greedy_search", tpu=True)
+            records.append({"metric": "runtime_rnnt_greedy_rtf_tpu",
+                            "value": round(rtf_gt, 4),
+                            "unit": "decode-s/audio-s",
+                            "first_utt_rtf": round(first_gt, 4),
+                            "stages": st_gt})
+        except Exception as e:
+            print(f"tpu-worker bench failed: {e!r}", file=sys.stderr)
 
     fp_ms, fin_ms = bench_websocket(args.build, model_dir, mel, chunk,
                                     wavs[0])

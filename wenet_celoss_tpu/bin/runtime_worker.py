@@ -271,30 +271,55 @@ class Worker:
         return out
 
     def rescore(self, hyps, reverse_weight: float) -> np.ndarray:
-        from wenet_celoss_tpu.decode.rescoring import \
-            score_hyps_with_decoder
+        """Attention rescoring of an n-best list — ONE jitted program.
+
+        The first version ran the decoder via eager ``model.apply``:
+        per-op dispatch made the finalize cost 5.6 s per 9.6 s utterance
+        (99% of the serving stack's offline RTF; r5 stage attribution in
+        tools/bench_runtime.py). Shapes are bucketed (T′ to 64 frames,
+        U to 8 labels) so the jit compiles a bounded program set, with
+        padding masked out exactly as the batched decode path does."""
         if not self.encoder_outs:
             return np.zeros((len(hyps),), np.float32)
-        memory = self.jnp.asarray(
-            np.concatenate(self.encoder_outs, axis=0)[None])
-        mask = self.jnp.ones((1, memory.shape[1]), bool)
+        jnp = self.jnp
+        enc = np.concatenate(self.encoder_outs, axis=0)
+        t = enc.shape[0]
+        t_pad = max(64, -(-t // 64) * 64)
+        enc = np.pad(enc, ((0, t_pad - t), (0, 0)))
+        memory = jnp.asarray(enc[None])
+        mask = jnp.asarray((np.arange(t_pad) < t)[None])
+        # Coarse buckets (U to 32, N to 16): per-utterance n-best shape
+        # wobble otherwise forces a compile-cache load per utterance
+        # (~0.9 s each — it, not the math, was 95% of the measured
+        # rescore stage; warm same-shape rescore is ~30 ms).
         n = len(hyps)
+        n_pad = -(-max(n, 1) // 16) * 16
         u_max = max(max((len(h) for h in hyps), default=1), 1)
-        toks = np.full((1, n, u_max), -1, np.int32)
-        lens = np.zeros((1, n), np.int32)
+        u_pad = -(-u_max // 32) * 32
+        toks = np.full((1, n_pad, u_pad), -1, np.int32)
+        lens = np.zeros((1, n_pad), np.int32)
         for i, h in enumerate(hyps):
             toks[0, i, :len(h)] = h
             lens[0, i] = len(h)
 
-        def scores_fn(mem, m, hin, hlens, rin, rw):
-            return self.model.apply(self.variables, mem, m, hin, hlens,
-                                    rin, rw, method="decoder_scores")
+        if getattr(self, "_rescore_rw", None) != reverse_weight:
+            from wenet_celoss_tpu.decode.rescoring import \
+                score_hyps_with_decoder
 
-        att = score_hyps_with_decoder(
-            scores_fn, memory, mask, self.jnp.asarray(toks),
-            self.jnp.asarray(lens), self.model.sos, self.model.eos,
-            reverse_weight)
-        return np.asarray(att[0], np.float32)
+            def fn(memory, mask, toks, lens):
+                def scores_fn(mem, m, hin, hlens, rin, rw):
+                    return self.model.apply(self.variables, mem, m, hin,
+                                            hlens, rin, rw,
+                                            method="decoder_scores")
+                return score_hyps_with_decoder(
+                    scores_fn, memory, mask, toks, lens, self.model.sos,
+                    self.model.eos, reverse_weight)
+
+            self._rescore_jit = self.jax.jit(fn)
+            self._rescore_rw = reverse_weight
+        att = self._rescore_jit(memory, mask, jnp.asarray(toks),
+                                jnp.asarray(lens))
+        return np.asarray(att[0][:n], np.float32)
 
 
 def main():
