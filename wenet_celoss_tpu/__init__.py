@@ -1,29 +1,35 @@
-"""wenet_celoss_tpu: a TPU-native end-to-end speech recognition framework.
+"""wenet_celoss_tpu — TPU-native speech framework package.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
-Vindicator645/wenet-celoss reference (WeNet 2.x fork with contextual-biasing
-RNN-T + auxiliary cross-entropy hotword loss):
-
-- U2/U2++ unified streaming & non-streaming ASR (dynamic chunk masking,
-  joint CTC/attention).
-- Conformer / Transformer encoders, bidirectional attention decoders.
-- RNN-T transducer stack (RNN / Embedding / Conv predictors, additive joint)
-  with contextual biasing and hotword-gate decoding.
-- Batched, jit-able decoders: CTC greedy, CTC prefix beam, attention beam,
-  attention rescoring, RNN-T greedy and prefix beam.
-- SPMD scale-out via jax.sharding Mesh + XLA collectives (no DDP process
-  choreography).
-- Pallas TPU kernels for the hot numerics (log-mel frontend, transducer
-  lattice loss).
-
-The package is organized as:
-  ops/       numerics + Pallas kernels (fbank, CTC, RNN-T, specaug)
-  models/    flax.linen model components and full models
-  decode/    batched search algorithms
-  data/      UIO-style data pipeline (raw/shard), tokenizers, batching
-  parallel/  mesh construction, sharding rules, train step
-  utils/     masks, schedules, checkpointing, config, scoring
-  bin/       CLI entry points (train / recognize / average / export)
+Platform-selection guard: some deployment environments (the axon TPU
+tunnel among them) pre-import jax from an interpreter-startup site hook
+and pin the platform, which silently LATCHES the backend choice before
+any user code runs — after that the documented ``JAX_PLATFORMS``
+environment variable is ignored (observed: ``JAX_PLATFORMS=cpu python
+-c 'import jax; jax.devices()'`` returning the TPU). Every CLI,
+subprocess worker and recipe in this package states its platform intent
+through ``JAX_PLATFORMS``, so re-assert the env var's value through the
+config API here, at package import, while backends are still
+uninitialized. No-op when jax has not been imported yet (the env var
+works normally) or when the value already matches.
 """
 
-__version__ = "0.1.0"
+import os as _os
+import sys as _sys
+
+
+def _apply_env_platform():
+    want = _os.environ.get("JAX_PLATFORMS")
+    if not want or "jax" not in _sys.modules:
+        return
+    import jax
+    try:
+        if getattr(jax.config, "jax_platforms", None) != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        # Backends already initialized: too late to switch; leave the
+        # latched platform in place rather than crash the import.
+        pass
+
+
+_apply_env_platform()
+del _apply_env_platform
