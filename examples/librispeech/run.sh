@@ -55,7 +55,7 @@ if [ "${dryrun}" = true ]; then
   average_num=1
   spm_vocab=60
   num_epochs=2
-  export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+  export JAX_PLATFORMS=${WENET_SMOKE_PLATFORM:-cpu}
   rm -rf ${data}
   python ${tools}/make_fake_librispeech.py --out_dir ${data} \
     --parts ${train_sets} ${dev_set} ${test_sets} --n_utts 12
@@ -95,7 +95,10 @@ if [ "${smoke}" = true ]; then
   # Tiny models decode faster on the host CPU than they can pay the
   # TPU-tunnel's cold-compile latency; the persistent compilation cache
   # (utils/platform.enable_compilation_cache) makes repeat smokes cheap.
-  export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+  # Forced (not ${JAX_PLATFORMS:-cpu}): driver environments export
+  # JAX_PLATFORMS=axon globally, which silently put the whole smoke on
+  # the TPU tunnel; WENET_SMOKE_PLATFORM opts into another platform.
+  export JAX_PLATFORMS=${WENET_SMOKE_PLATFORM:-cpu}
   # The smoke is an ACCURACY gate: the synthetic corpus is learnable
   # (word↔tone, tools/make_smoke_data.py) and stage 4 asserts WER below
   # this ceiling for every decode mode, failing the script otherwise.
@@ -105,29 +108,57 @@ if [ "${smoke}" = true ]; then
   # hotword decode correctness is covered by the parity/hotword tests.
   wer_ceiling=10.0
   # shrink every tower; static batching keeps the smoke deterministic
-  for ov in "encoder_conf.num_blocks 2" "encoder_conf.output_size 64" \
-      "encoder_conf.attention_heads 2" "encoder_conf.linear_units 64" \
-      "encoder_conf.cnn_module_kernel 7" "decoder_conf.num_blocks 1" \
-      "decoder_conf.r_num_blocks 1" "decoder_conf.attention_heads 2" \
-      "decoder_conf.linear_units 64" "predictor_conf.embed_size 64" \
-      "predictor_conf.output_size 64" "predictor_conf.hidden_size 64" \
-      "predictor_conf.num_layers 1" "joint_conf.join_dim 64" \
-      "context_conf.embedding_size 64" "context_conf.attention_heads 2" \
-      "context_conf.linear_units 64" "context_conf.num_block 1" \
-      "context_conf.unified_hw_odim 16" \
-      "dataset_conf.batch_conf.batch_type static" \
-      "dataset_conf.batch_conf.batch_size 8" \
-      "dataset_conf.filter_conf.min_length 0" \
-      "dataset_conf.fbank_conf.dither 0.0" "dtype float32" \
-      "scheduler_conf.warmup_steps 40" "optim_conf.lr 0.005" \
-      "dataset_conf.speed_perturb false" \
-      "dataset_conf.spec_aug false" \
-      "context nobias" "model_conf.hw_weight 0.0" \
-      "accum_grad 1"; do
+  smoke_ovs=("encoder_conf.num_blocks 2" "encoder_conf.output_size 64"
+      "encoder_conf.attention_heads 2" "encoder_conf.linear_units 64"
+      "encoder_conf.cnn_module_kernel 7" "decoder_conf.num_blocks 1"
+      "decoder_conf.r_num_blocks 1" "decoder_conf.attention_heads 2"
+      "decoder_conf.linear_units 64" "predictor_conf.embed_size 64"
+      "predictor_conf.output_size 64" "predictor_conf.hidden_size 64"
+      "predictor_conf.num_layers 1" "joint_conf.join_dim 64"
+      "context_conf.embedding_size 64" "context_conf.attention_heads 2"
+      "context_conf.linear_units 64" "context_conf.num_block 1"
+      "context_conf.unified_hw_odim 16"
+      "dataset_conf.batch_conf.batch_type static"
+      "dataset_conf.batch_conf.batch_size 8"
+      "dataset_conf.filter_conf.min_length 0"
+      "dataset_conf.fbank_conf.dither 0.0" "dtype float32"
+      "scheduler_conf.warmup_steps 40" "optim_conf.lr 0.005"
+      "dataset_conf.speed_perturb false"
+      "dataset_conf.spec_aug false"
+      "accum_grad 1")
+  for ov in "${smoke_ovs[@]}" "context nobias" "model_conf.hw_weight 0.0"
+  do
     train_extra+=(--override_config "${ov}")
   done
 fi
 
+
+# Bounded retry with epoch-checkpoint resume around the trainer: a host
+# crash (observed: XLA:CPU's LLVM JIT intermittently dying in libgcc's
+# unwinder on small sandboxes) costs at most the current epoch, not the
+# run — the recipe-level analog of the step-checkpoint kill/resume
+# guarantee (utils/checkpoint.py, tests/test_checkpoint_resume.py).
+run_train() {  # run_train <model_dir> <train args...>
+  local mdir=$1; shift
+  local attempt last rc
+  for attempt in 1 2 3; do
+    local resume=()
+    # `|| true`: an unmatched glob fails ls, and under set -e a failing
+    # command substitution in a plain assignment aborts the script.
+    last=$(ls "${mdir}"/[0-9]*.ckpt 2>/dev/null | \
+           sed 's/.*\///; s/\.ckpt//' | sort -n | tail -1 || true)
+    [ -n "${last}" ] && resume=(--checkpoint "${mdir}/${last}.ckpt")
+    if python -m wenet_celoss_tpu.bin.train "$@" "${resume[@]}" \
+         --model_dir "${mdir}"; then
+      return 0
+    fi
+    rc=$?
+    echo "train attempt ${attempt} exited rc=${rc};" \
+         "retrying from epoch checkpoint ${last:-none}" >&2
+  done
+  echo "train failed after 3 attempts" >&2
+  return 1
+}
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   if [ "${smoke}" = true ]; then
@@ -190,7 +221,7 @@ fi
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
   echo "stage 3: train"
   mkdir -p ${dir}
-  python -m wenet_celoss_tpu.bin.train \
+  run_train ${dir} \
     --config ${config} \
     --data_type raw \
     --train_data data/train_960/data.list \
@@ -199,8 +230,7 @@ if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
     --bpe_model ${bpe_model} \
     --cmvn data/train_960/global_cmvn \
     ${num_epochs:+--num_epochs ${num_epochs}} \
-    "${train_extra[@]}" \
-    --model_dir ${dir}
+    "${train_extra[@]}"
 fi
 
 if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
@@ -246,6 +276,79 @@ if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
       fi
     done
   done
+fi
+
+if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ] && [ "${smoke}" = true ]; then
+  echo "stage 4b: hotword-biasing accuracy gate (fork flagship capability)"
+  # A confusable corpus (SPEECH and MODEL share one tone; MODEL 3x as
+  # frequent in training) trained WITH the bias tower. The unbiased
+  # decode of the hotword-rich test set must transcribe SPEECH's tone as
+  # MODEL (the learned prior); supplying a context list containing
+  # SPEECH must recover it. Gate: biased WER strictly below unbiased
+  # WER, biased WER under the smoke ceiling, and the per-token hotword
+  # gate's total edit distance under a ceiling — the fork's own eval
+  # criterion (reference `wenet/bin/recognize.py:374-375`), asserted at
+  # recipe level instead of only in tests/test_hotword_decode.py.
+  hwdir=exp/smoke_hw
+  mkdir -p ${hwdir}
+  python ${tools}/make_smoke_data.py --out_dir data_hw --n_utts 200 \
+    --n_test_utts 16 --parts train-clean-100 ${dev_set} test-clean \
+    --confuse speech:model
+  for part in train-clean-100 ${dev_set} test-clean; do
+    python ${tools}/make_raw_list.py data_hw/${part}/wav.scp \
+      data_hw/${part}/text data_hw/${part}/data.list
+  done
+  hw_extra=()
+  for ov in "${smoke_ovs[@]}" "model_conf.hw_weight 0.5"; do
+    hw_extra+=(--override_config "${ov}")
+  done
+  run_train ${hwdir} \
+    --config ${config} \
+    --data_type raw \
+    --train_data data_hw/train-clean-100/data.list \
+    --cv_data data_hw/${dev_set}/data.list \
+    --symbol_table ${dict} \
+    --bpe_model ${bpe_model} \
+    --cmvn data/train_960/global_cmvn \
+    --num_epochs ${num_epochs} \
+    "${hw_extra[@]}"
+  python -m wenet_celoss_tpu.bin.average_model \
+    --dst_model ${hwdir}/avg_1.ckpt --src_path ${hwdir} --num 1 --val_best
+  echo "SPEECH" > ${hwdir}/hotwords.txt
+  python ${tools}/make_context_list.py --context_file ${hwdir}/hotwords.txt \
+    --symbol_table ${dict} --bpe_model ${bpe_model} \
+    --output ${hwdir}/ctx_ids.txt
+  : > ${hwdir}/ctx_empty.txt
+  for variant in biased unbiased; do
+    [ ${variant} = biased ] && ctx=${hwdir}/ctx_ids.txt \
+      || ctx=${hwdir}/ctx_empty.txt
+    python -m wenet_celoss_tpu.bin.recognize \
+      --config ${hwdir}/train.yaml \
+      --data_type raw \
+      --test_data data_hw/test-clean/data.list \
+      --checkpoint ${hwdir}/avg_1.ckpt \
+      --symbol_table ${dict} \
+      --bpe_model ${bpe_model} \
+      --mode rnnt_greedy_search \
+      --context_mode 3 --context_list_file ${ctx} \
+      --context_filter_state on \
+      --result_file ${hwdir}/decode_${variant}
+    python ${tools}/compute_wer.py data_hw/test-clean/text \
+      ${hwdir}/decode_${variant} > ${hwdir}/wer_${variant}
+    tail -1 ${hwdir}/wer_${variant}
+  done
+  wb=$(grep -o 'WER [0-9.]*' ${hwdir}/wer_biased | awk '{print $2}')
+  wu=$(grep -o 'WER [0-9.]*' ${hwdir}/wer_unbiased | awk '{print $2}')
+  gate=$(grep -o '[0-9]*' ${hwdir}/decode_biased.gate_dist | head -1)
+  echo "hotword gate: biased WER ${wb}% vs unbiased ${wu}%," \
+       "gate edit distance ${gate}"
+  ok=$(awk -v b="${wb}" -v u="${wu}" -v c="${wer_ceiling}" -v g="${gate:-999}" \
+       'BEGIN{print (b < u && b <= c && g <= 8) ? 1 : 0}')
+  if [ "${ok}" != "1" ]; then
+    echo "SMOKE FAIL: hotword biasing gate (biased ${wb}% must be <" \
+         "unbiased ${wu}%, <= ${wer_ceiling}%, gate dist ${gate} <= 8)"
+    exit 1
+  fi
 fi
 
 if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then

@@ -237,6 +237,34 @@ class TestDatasetPipeline:
         # hw labels only 0/1/-1
         assert set(np.unique(b["hw_labels"])) <= {-1, 0, 1}
 
+    def test_context_mode3_file_list_hw_labels(self, tmp_path):
+        """Mode 3 (fixed decode-time list): the processor matches each
+        file phrase against the labels and emits per-token hw_labels —
+        the gate-eval contract recognize.py --context_mode 3 relies on
+        (reference `wenet/bin/recognize.py:374-375`)."""
+        list_file = _make_raw_dataset(tmp_path)
+        conf = {
+            "filter": False, "shuffle": False, "sort": False,
+            "fbank_conf": {"num_mel_bins": 23},
+            "batch_conf": {"batch_type": "static", "batch_size": 8},
+            "context_mode": 3,
+            "pad_conf": {"file_list": [[1, 2]]},   # phrase "ab"
+        }
+        ds = Dataset("raw", list_file, SYMS, conf)
+        b = next(iter(iter(ds)))
+        assert b["context_list"][0, 0] == 0      # sentinel entry
+        assert list(b["context_list"][1, :2]) == [1, 2]
+        hw = b["hw_labels"]
+        lab = b["labels"]
+        for i in range(lab.shape[0]):
+            toks = [t for t in lab[i] if t >= 0]
+            ref = [0] * len(toks)
+            for j in range(len(toks) - 1):
+                if toks[j] == 1 and toks[j + 1] == 2:
+                    ref[j] = ref[j + 1] = 1
+            got = [int(x) for x in hw[i, :len(toks)]]
+            assert got == ref, (i, toks, got, ref)
+
     def test_shard_end_to_end(self, tmp_path):
         # Build shard via the tool.
         rng = np.random.default_rng(1)

@@ -10,6 +10,16 @@ the held-out test part (different word sequences, same word inventory)
 to near-zero WER; the recipe asserts that, making the smoke an accuracy
 regression gate (the in-image stand-in for the reference's WER-table
 recipe checks, examples/librispeech/s0/README.md).
+
+The ``--confuse HOT:COMMON`` variant builds a HOTWORD-BIASING gate corpus
+(recipe stage 4b): both words get the IDENTICAL tone, train parts sample
+COMMON 3x as often as HOT (so the acoustic prior resolves the ambiguity
+toward COMMON), and test parts exclude COMMON while forcing HOT into
+every utterance. An unbiased decode of the test set must then transcribe
+HOT's tone as COMMON (learned prior), while a decode biased with a
+context list containing HOT should recover it — the fork's own success
+criterion (reference `wenet/bin/recognize.py:374-375` gate eval), gated
+at recipe level instead of only in a unit test.
 """
 
 import argparse
@@ -44,7 +54,17 @@ def main():
     ap.add_argument("--n_utts", type=int, default=32)
     ap.add_argument("--n_test_utts", type=int, default=8)
     ap.add_argument("--sr", type=int, default=16000)
+    ap.add_argument("--confuse", default=None, metavar="HOT:COMMON",
+                    help="hotword-gate corpus: give HOT and COMMON the "
+                         "identical tone, oversample COMMON 3x in train "
+                         "parts, and make non-train parts hotword-rich "
+                         "(COMMON excluded, HOT forced into every utt)")
     args = ap.parse_args()
+
+    hot = common = None
+    if args.confuse:
+        hot, common = args.confuse.split(":")
+        FREQS[WORDS.index(common)] = FREQS[WORDS.index(hot)]
 
     from wenet_celoss_tpu.data.wav import write_wav
     rng = np.random.default_rng(0)
@@ -56,7 +76,21 @@ def main():
         scp, txt = [], []
         for i in range(n):
             key = f"{part}-u{i:03d}"
-            words = list(rng.choice(WORDS, size=int(rng.integers(3, 7))))
+            if hot and part.startswith("train"):
+                w = np.ones(len(WORDS))
+                w[WORDS.index(common)] = 3.0
+                words = list(rng.choice(WORDS,
+                                        size=int(rng.integers(3, 7)),
+                                        p=w / w.sum()))
+            elif hot:
+                pool = [x for x in WORDS if x != common]
+                words = list(rng.choice(pool,
+                                        size=int(rng.integers(3, 7))))
+                if hot not in words:
+                    words[int(rng.integers(0, len(words)))] = hot
+            else:
+                words = list(rng.choice(WORDS,
+                                        size=int(rng.integers(3, 7))))
             wav = utt_wav(words, args.sr, rng)
             path = os.path.abspath(os.path.join(wdir, key + ".wav"))
             write_wav(path, wav, args.sr)

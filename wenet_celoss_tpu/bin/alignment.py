@@ -95,9 +95,8 @@ def main():
                        conf["fbank_conf"].get("num_mel_bins", 80))
     configs.setdefault("output_dim", len(symbol_table))
     model = init_model(configs)
-    ex = (np.zeros((1, 64, configs["input_dim"]), np.float32),
-          np.array([64], np.int32), np.ones((1, 4), np.int32),
-          np.array([4], np.int32))
+    from wenet_celoss_tpu.models.factory import init_example
+    ex = init_example(configs)   # incl. context tower when configured
     variables = model.init(jax.random.PRNGKey(0), *ex)
     variables["params"] = ckpt.load_checkpoint(variables["params"],
                                                args.checkpoint)

@@ -60,9 +60,8 @@ def main():
     model = init_model(configs)
     feat_dim = configs["input_dim"]
 
-    ex = (np.zeros((1, 64, feat_dim), np.float32),
-          np.array([64], np.int32), np.ones((1, 4), np.int32),
-          np.array([4], np.int32))
+    from wenet_celoss_tpu.models.factory import init_example
+    ex = init_example(configs)   # incl. context tower when configured
     variables = model.init(jax.random.PRNGKey(0), *ex)
     variables["params"] = ckpt.load_checkpoint(variables["params"],
                                                args.checkpoint)

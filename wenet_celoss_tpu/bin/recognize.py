@@ -105,7 +105,37 @@ def main():
     fbank_conf = dict(test_conf.get("fbank_conf", {}))
     fbank_conf["dither"] = 0.0
     test_conf["fbank_conf"] = fbank_conf
-    test_conf["context_mode"] = 0   # context handled below at decode time
+    # Context list (decode-time hotwords) — parsed before the dataset so
+    # mode 3 can regenerate per-token hotword labels on the eval batches
+    # (the reference's gate-eval path, `recognize.py:374-375`): the
+    # processor matches each context phrase against the labels and emits
+    # hw_labels, which the rnnt_greedy gate sidecar scores against.
+    context_list = context_lengths = None
+    context_dict = None
+    file_rows = []
+    if args.context_mode in (2, 3) and args.context_list_file:
+        with open(args.context_list_file) as f:
+            for line in f:
+                ids = [int(x) for x in line.split()]
+                if ids:
+                    file_rows.append(ids)
+        rows = [[0]] + file_rows
+        l_max = max(len(r) for r in rows)
+        context_list = np.full((len(rows), l_max), -1, np.int32)
+        context_lengths = np.zeros((len(rows),), np.int32)
+        for i, r in enumerate(rows):
+            context_list[i, :len(r)] = r
+            context_lengths[i] = len(r)
+    elif args.context_mode == 4 and args.context_dict:
+        with open(args.context_dict, "rb") as f:
+            context_dict = pickle.load(f)
+    if args.context_mode == 3 and file_rows:
+        test_conf["context_mode"] = 3
+        pad_conf = dict(test_conf.get("pad_conf", {}))
+        pad_conf["file_list"] = file_rows
+        test_conf["pad_conf"] = pad_conf
+    else:
+        test_conf["context_mode"] = 0   # context handled at decode time
 
     dataset = Dataset(args.data_type, args.test_data, symbol_table,
                       test_conf, args.bpe_model, non_lang_syms,
@@ -117,35 +147,13 @@ def main():
     configs.setdefault("cmvn_file", configs.get("cmvn_file"))
     model = init_model(configs)
 
-    ex = (np.zeros((1, 64, configs["input_dim"]), np.float32),
-          np.array([64], np.int32),
-          np.ones((1, 4), np.int32), np.array([4], np.int32))
+    from wenet_celoss_tpu.models.factory import init_example
+    ex = init_example(configs)
     variables = model.init(__import__("jax").random.PRNGKey(0), *ex)
     params = variables.copy()
     params["params"] = ckpt.load_checkpoint(variables["params"],
                                             args.checkpoint)
     decoder = Decoder(model, params)
-
-    # Context list (decode-time hotwords).
-    context_list = context_lengths = None
-    context_dict = None
-    if args.context_mode in (2, 3) and args.context_list_file:
-        rows = []
-        with open(args.context_list_file) as f:
-            for line in f:
-                ids = [int(x) for x in line.split()]
-                if ids:
-                    rows.append(ids)
-        rows = [[0]] + rows
-        l_max = max(len(r) for r in rows)
-        context_list = np.full((len(rows), l_max), -1, np.int32)
-        context_lengths = np.zeros((len(rows),), np.int32)
-        for i, r in enumerate(rows):
-            context_list[i, :len(r)] = r
-            context_lengths[i] = len(r)
-    elif args.context_mode == 4 and args.context_dict:
-        with open(args.context_dict, "rb") as f:
-            context_dict = pickle.load(f)
 
     if args.sharded:
         from wenet_celoss_tpu.decode.sharded import ShardedDecoder

@@ -52,9 +52,8 @@ class Worker:
         import jax.numpy as jnp
         self.jnp = jnp
 
-        ex = (np.zeros((1, 64, configs["input_dim"]), np.float32),
-              np.array([64], np.int32), np.ones((1, 4), np.int32),
-              np.array([4], np.int32))
+        from wenet_celoss_tpu.models.factory import init_example
+        ex = init_example(configs)   # incl. context tower if configured
         variables = self.model.init(jax.random.PRNGKey(0), *ex)
         if args.checkpoint:
             variables["params"] = ckpt.load_checkpoint(

@@ -153,3 +153,24 @@ def _build_transducer(configs, vocab_size, encoder, decoder, ctc):
         rnnt_impl=model_conf.get("rnnt_impl", "scan"),
         prune_range=model_conf.get("prune_range", 5),
         simple_loss_scale=model_conf.get("simple_loss_scale", 0.5))
+
+
+def init_example(configs, batch: int = 1, frames: int = 64,
+                 labels: int = 4):
+    """Synthetic argument tuple for ``model.init`` that matches the
+    configured towers — INCLUDING the context-bias tower when the config
+    enables biasing. Every CLI that restores a checkpoint must init with
+    this shape set: a tower missing from the init tree gives the
+    checkpoint's weights no home to restore into, and the model then
+    fails at apply time with ScopeParamNotFoundError (caught by the
+    recipe-level hotword gate, run.sh --smoke stage 4b)."""
+    import numpy as np
+
+    ex = (np.zeros((batch, frames, configs["input_dim"]), np.float32),
+          np.full((batch,), frames, np.int32),
+          np.ones((batch, labels), np.int32),
+          np.full((batch,), labels, np.int32))
+    if configs.get("context", "nobias") != "nobias":
+        ex = ex + (np.ones((2, 2), np.int32), np.array([1, 2], np.int32),
+                   np.zeros((batch, labels), np.int32))
+    return ex

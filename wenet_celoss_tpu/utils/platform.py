@@ -41,10 +41,39 @@ def enable_compilation_cache(
     torch). With the cache, a recipe's four decode stages compile once
     ever per (program, shape). Safe to call multiple times; env
     JAX_COMPILATION_CACHE_DIR wins. Off when the dir can't be created
-    (read-only containers)."""
+    (read-only containers).
+
+    CPU-backend entries are segregated into a per-machine subdirectory:
+    jax's cache key does NOT fully capture the XLA:CPU AOT target (a
+    cache written under one toolchain/flag set loads on another host
+    with "machine type doesn't match ... could lead to SIGILL"
+    cpu_aot_loader warnings — observed here as intermittent libgcc
+    unwinder segfaults killing long CPU train runs when a remote-compile
+    environment shared the cache). TPU entries are device-compiled and
+    keyed by topology; they stay in the shared root so warm tunnel
+    compiles survive."""
+    import hashlib
+    import platform as _pyplat
+
     import jax
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        # Configured platform WITHOUT initializing backends (train.py
+        # calls this before jax.distributed.initialize).
+        plats = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS", "") or "")
+        if plats.split(",")[0] == "cpu":
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((ln for ln in f
+                                  if ln.startswith("flags")), "")
+            except OSError:
+                flags = ""
+            fp = hashlib.sha1(
+                (_pyplat.machine() + jax.__version__ + flags)
+                .encode()).hexdigest()[:10]
+            cache_dir = os.path.join(path + "-cpu", fp)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
